@@ -1,0 +1,32 @@
+"""vdiff_tpu — TPU-native V-objective diffusion framework.
+
+A ground-up JAX/XLA/Pallas re-design with the full capability surface of the
+reference ``tqch/v-diffusion-torch`` (see SURVEY.md): continuous-time log-SNR
+Gaussian diffusion, improved-DDPM UNet, DDIM/ancestral samplers compiled to a
+single on-chip ``lax.scan``, classifier-free guidance, mesh data-parallel
+training over ICI, gradient accumulation, EMA, Orbax checkpointing, and
+FID / Precision-Recall evaluation.
+"""
+
+from .diffusion import GaussianDiffusion
+from .ops.numerics import get_logsnr_schedule
+from .models.unet import UNet
+from .utils.config import dict2str, update_config, fill_with_defaults
+from .utils.misc import seed_all
+from .data import DATA_INFO, get_dataloader
+from .train_lib import Trainer, Evaluator, DummyScheduler
+
+__all__ = [
+    "get_dataloader",
+    "DATA_INFO",
+    "dict2str",
+    "seed_all",
+    "update_config",
+    "fill_with_defaults",
+    "Trainer",
+    "Evaluator",
+    "DummyScheduler",
+    "GaussianDiffusion",
+    "get_logsnr_schedule",
+    "UNet",
+]

@@ -1,0 +1,131 @@
+"""FID: streaming activation statistics + Fréchet distance.
+
+Re-design of reference ``v_diffusion/metrics/fid_score.py``: the running
+mean/covariance merge (fid_score.py:78-137) is kept in numpy float64 on host;
+the feature extractor is a Flax InceptionV3 (FID-patched, see inception.py)
+running batched on the TPU; the matrix square root runs through scipy on host
+(fid_score.py:262-316).
+
+Reference statistics are loaded from local npz files (``mu``/``sigma`` keys,
+TTUR format); this environment has no network egress, so ``get_precomputed``
+searches ``download_dir`` and raises with the expected filename if absent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+from scipy import linalg
+
+# TTUR stats filenames per dataset (fid_score.py:140-150)
+PRECOMPUTED_FILES = {
+    "cifar10": "fid_stats_cifar10_train.npz",
+    "celeba": "fid_stats_celeba_148x148.npz",
+    "cropped_celeba": "fid_stats_celeba_148x148.npz",
+    "lsun_bedroom": "fid_stats_lsun_train.npz",
+    "svhn": "fid_stats_svhn_train.npz",
+    "imagenet_train": "fid_stats_imagenet_train.npz",
+    "imagenet_valid": "fid_stats_imagenet_valid.npz",
+}
+
+
+def get_precomputed(dataset: str, download_dir: str = "precomputed"):
+    """Load precomputed reference (mu, sigma) from a local npz."""
+    if dataset == "celeba":
+        dataset = "cropped_celeba"
+    fname = PRECOMPUTED_FILES.get(dataset, f"fid_stats_{dataset}.npz")
+    for cand in (os.path.join(download_dir, fname), fname):
+        if os.path.exists(cand):
+            data = np.load(cand)
+            return data["mu"], data["sigma"]
+    raise FileNotFoundError(
+        f"Precomputed FID statistics '{fname}' not found in '{download_dir}'. "
+        "This environment has no network egress — place the TTUR npz there "
+        "manually (keys: mu, sigma)."
+    )
+
+
+class InceptionStatistics:
+    """Streaming mean/cov over feature activations (fid_score.py:78-137).
+
+    ``feature_fn`` maps a uint8/float image batch (N, H, W, C) to (N, D)
+    activations; defaults to the Flax FID-InceptionV3 pool3 features.
+    ``input_transform`` mirrors the reference hook (eval.py:82).
+    """
+
+    def __init__(
+        self,
+        feature_fn: Optional[Callable] = None,
+        input_transform: Callable = lambda x: x,
+        activation_dim: int = 2048,
+    ):
+        self.input_transform = input_transform
+        self.activation_dim = activation_dim
+        self._feature_fn = feature_fn
+        self.running_mean = np.zeros((activation_dim,), np.float64)
+        self.running_var = np.zeros((activation_dim, activation_dim), np.float64)
+        self.count = 0
+
+    @property
+    def feature_fn(self):
+        if self._feature_fn is None:
+            from .inception import load_fid_inception
+
+            self._feature_fn = load_fid_inception()
+        return self._feature_fn
+
+    def update(self, x: np.ndarray):
+        """x: (N, H, W, C) images; accumulates Welford-merged statistics."""
+        x = self.input_transform(x)
+        act = np.asarray(self.feature_fn(x))
+        assert act.ndim == 2 and act.shape[1] == self.activation_dim
+        mean = np.mean(act, axis=0, dtype=np.float64)
+        var = np.cov(act, rowvar=False, ddof=0)
+        count = act.shape[0]
+        alpha = count / (self.count + count)
+        if self.count == 0:
+            self.running_mean += mean
+            self.running_var += var
+        else:
+            mean_diff = mean - self.running_mean
+            self.running_mean += alpha * mean_diff
+            self.running_var += alpha * (var - self.running_var)
+            self.running_var += alpha * (1 - alpha) * np.outer(mean_diff, mean_diff)
+        self.count += count
+
+    __call__ = update
+
+    def get_statistics(self):
+        assert self.count > 1, "Count must be greater than 1!"
+        return self.running_mean, self.running_var * self.count / (self.count - 1)
+
+    def reset(self):
+        self.running_mean.fill(0)
+        self.running_var.fill(0)
+        self.count = 0
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """‖μ₁−μ₂‖² + Tr(Σ₁+Σ₂−2√(Σ₁Σ₂)) with ε-fallback on singularity
+    (fid_score.py:262-316)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def calc_fd(mean1, var1, mean2, var2, eps=1e-6):
+    return calculate_frechet_distance(mean1, var1, mean2, var2, eps)

@@ -1,0 +1,106 @@
+"""L1 NN primitives: initializers and small modules.
+
+TPU-native counterpart of reference ``v_diffusion/modules.py``. The reference
+re-implements Linear/Conv2d purely to get a LeCun-normal *truncated* init with
+an ``init_scale`` multiplier (modules.py:25-38 — which itself cites
+jax.nn.initializers.lecun_normal). Here we express that directly as a Flax
+initializer and reuse ``flax.linen`` layers; the compute path is XLA's native
+dot/conv which map straight onto the MXU.
+
+Note on truncation: both the reference (torch ``trunc_normal_(std=1, a=-2, b=2)``
+then scale) and this initializer sample a ±2σ-truncated standard normal and
+multiply by sqrt(scale/fan_in) — *without* the truncation-variance correction
+jax's stock ``variance_scaling`` applies — so the init distributions match
+bit-for-bit in law.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def lecun_trunc_normal(scale: float = 1.0):
+    """LeCun-normal truncated initializer matching reference modules.py:25-38.
+
+    fan_in is taken over all dimensions but the last (HWIO kernels / (in, out)
+    dense kernels), matching torch's OIHW fan_in = in_ch * prod(kernel).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        if scale == 0.0:
+            return jnp.zeros(shape, dtype)
+        fan_in = int(np.prod(shape[:-1]))
+        std = np.sqrt(scale / fan_in)
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+def Dense(features: int, use_bias: bool = True, init_scale: float = 1.0, dtype=None):
+    """Linear with reference init semantics (modules.py:55-84)."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=lecun_trunc_normal(init_scale),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+    )
+
+
+def Conv(
+    features: int,
+    kernel_size=(3, 3),
+    strides=1,
+    padding="SAME",
+    use_bias: bool = True,
+    init_scale: float = 1.0,
+    dtype=None,
+):
+    """NHWC conv with reference init semantics (modules.py:87-144).
+
+    The reference UNet only ever uses k∈{1,3}, stride∈{1,2}, symmetric padding;
+    torch pad=1/k=3 == 'SAME' at stride 1. The stride-2 3x3 downsample conv
+    (unet.py:261, padding=0) maps to 'VALID'.
+    """
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    return nn.Conv(
+        features,
+        kernel_size=kernel_size,
+        strides=strides,
+        padding=padding,
+        use_bias=use_bias,
+        kernel_init=lecun_trunc_normal(init_scale),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+    )
+
+
+def group_norm(num_channels: int, dtype=None):
+    """GroupNorm(32, eps=1e-6) — shared normalizer constant (unet.py:28-30)."""
+    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype)
+
+
+def one_hot_exclude_zero(y: jax.Array, num_classes: int) -> jax.Array:
+    """OneHot with exclude_zero (modules.py:184-201): labels 1..K map to basis
+    vectors; label 0 (the CFG null class) maps to the all-zeros vector."""
+    y = y.astype(jnp.int32)
+    out = jax.nn.one_hot(jnp.clip(y - 1, 0, None), num_classes)
+    return jnp.where((y == 0)[..., None], 0.0, out)
+
+
+def nearest_upsample(x: jax.Array) -> jax.Array:
+    """2x nearest-neighbor upsample, NHWC (unet.py:128)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def avg_pool_2x(x: jax.Array) -> jax.Array:
+    """2x2 average-pool downsample, NHWC (unet.py:130)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.mean(axis=(2, 4))

@@ -1,0 +1,106 @@
+"""Spatial self-attention op.
+
+One implementation covers the capabilities of both reference attention blocks
+(naive einsum ``unet.py:55-81`` and xformers memory-efficient ``unet.py:84-103``).
+
+Two paths:
+  * ``_xla_attention`` — fused scaled-dot-product in f32 softmax; XLA fuses the
+    softmax chain into the two MXU matmuls. At the reference's token counts
+    (≤ 32×32 = 1024 spatial tokens) the full score matrix fits comfortably in
+    VMEM, so this is already near speed-of-light.
+  * ``flash_attention`` — Pallas blockwise-softmax (flash) kernel for larger
+    token counts / long-tail memory wins; used when shapes are tile-aligned.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """q, k, v: (B, T, N, C) → (B, T, N*C). Softmax in f32 (parity with the
+    reference's f32 softmax, unet.py:59-60)."""
+    B, T, N, C = q.shape
+    scale = 1.0 / math.sqrt(C)
+    logits = jnp.einsum("btnc,bsnc->bnts", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnts,bsnc->btnc", weights, v)
+    return out.reshape(B, T, N * C)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+    """Blockwise-softmax attention over one (q-block, head) tile.
+
+    Refs arrive as (block_q, C) / (T, C) slices in VMEM; the online-softmax
+    running max/denominator stay in registers across k-blocks.
+    """
+    q = q_ref[0].astype(jnp.float32) * scale
+    T = k_ref.shape[1]
+    block_q, C = q.shape
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    acc = jnp.zeros((block_q, C), jnp.float32)
+    m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, T // block_k, body, (acc, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256, block_k: int = 256
+) -> jax.Array:
+    """Pallas flash attention. q, k, v: (B, T, N, C) → (B, T, N*C).
+
+    Requires T % block ≡ 0 and C % 128 ≡ 0 (MXU lane alignment); callers fall
+    back to the XLA path otherwise.
+    """
+    B, T, N, C = q.shape
+    block_q = min(block_q, T)
+    block_k = min(block_k, T)
+    scale = 1.0 / math.sqrt(C)
+
+    # (B, T, N, C) -> (B*N, T, C): heads become batch for the kernel grid
+    fold = lambda x: x.transpose(0, 2, 1, 3).reshape(B * N, T, C)
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    grid = (B * N, T // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * N, T, C), q.dtype),
+    )(qf, kf, vf)
+    # (B*N, T, C) -> (B, T, N*C)
+    return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
+
+
+def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool = True):
+    """Dispatch: Pallas flash kernel when tile-aligned on TPU, else fused XLA."""
+    B, T, N, C = q.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if use_flash and on_tpu and T % 128 == 0 and C % 128 == 0:
+        return flash_attention(q, k, v)
+    return _xla_attention(q, k, v)

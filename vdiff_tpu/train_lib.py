@@ -1,0 +1,554 @@
+"""L4 training runtime — TPU-native re-design of reference
+``v_diffusion/train_utils.py`` + EMA/checkpoint pieces of ``utils.py``.
+
+Functional core, thin imperative shell:
+
+* All mutable training state lives in one :class:`TrainState` pytree
+  (params, opt_state, EMA params, step) threaded through a **single jitted
+  ``train_step``** that contains: t/noise/label-dropout RNG, the diffusion
+  loss, gradient accumulation as a ``lax.scan`` over micro-batches, global-norm
+  clipping, the AdamW+warmup update, and the EMA update. Under a data-parallel
+  mesh the batch is sharded on the 'data' axis and params are replicated, so
+  XLA inserts the gradient all-reduce over ICI automatically (replacing DDP's
+  bucket all-reduce, train.py:148).
+* EMA (reference utils.py:123-190) is a pure pytree update with the warmup
+  decay rule min(decay, (1+n)/(10+n)); no weakrefs/param-swapping — sampling
+  simply closes over ``state.ema_params``.
+* RNG: a single base seed; the per-step key is ``fold_in(train_key, step)`` and
+  per-host streams fold in ``process_index`` — replacing the 8191+rank /
+  127+rank / 131071+rank torch generators (train_utils.py:124-126). Resume
+  restores determinism from (seed, step) alone, so checkpoints need no RNG
+  state blobs.
+* Checkpointing via Orbax: params/opt_state/EMA/step + epoch, with
+  ``max_ckpts_kept`` retention and ``ckpt_{epoch}`` / ``ckpt_last`` naming
+  (reference train_utils.py:277-352).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate_tree,
+    replicated,
+    sync_global_devices,
+)
+from .utils.misc import RunningStatistics, save_image
+
+
+class DummyScheduler:
+    """Kept for API parity (reference train_utils.py:17-27); LR schedules are
+    part of the optax optimizer here."""
+
+    @staticmethod
+    def step():
+        pass
+
+    def load_state_dict(self, state_dict):
+        pass
+
+    @staticmethod
+    def state_dict():
+        return None
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+def make_optimizer(lr, beta1=0.9, beta2=0.999, weight_decay=0.0, warmup=0, grad_norm=1.0):
+    """AdamW + linear warmup + global-norm clipping (reference train.py:158-162,
+    train_utils.py:161)."""
+    if warmup and warmup > 0:
+        schedule = lambda t: lr * jnp.minimum((t + 1.0) / warmup, 1.0)
+    else:
+        schedule = lr
+    tx = []
+    if grad_norm and grad_norm > 0:
+        tx.append(optax.clip_by_global_norm(grad_norm))
+    tx.append(optax.adamw(schedule, b1=beta1, b2=beta2, weight_decay=weight_decay))
+    return optax.chain(*tx)
+
+
+def ema_update(ema_params, params, num_updates, decay):
+    """shadow += (1-d)(p-shadow), d = min(decay, (1+n)/(10+n)) (utils.py:144-149)."""
+    d = jnp.minimum(decay, (1.0 + num_updates) / (10.0 + num_updates))
+    return jax.tree.map(lambda e, p: e + (1.0 - d) * (p - e), ema_params, params)
+
+
+def make_train_step(
+    model,
+    diffusion,
+    optimizer,
+    timesteps: int,
+    num_accum: int = 1,
+    use_cfg: bool = False,
+    ema_decay: float = 0.9999,
+    use_ema: bool = False,
+):
+    """Build the jitted train step: (state, x, y, rng) -> (state, loss).
+
+    Matches reference Trainer.loss/step semantics (train_utils.py:137-169):
+    discrete t ~ (randint(T)+1)/T or continuous t ~ U(0,1); per-sample loss
+    meaned; grad-accum averages micro-grads; clip → AdamW → EMA.
+    """
+
+    def micro_loss(params, x, y, rng):
+        B = x.shape[0]
+        t_rng, noise_rng, uncond_rng, drop_rng = jax.random.split(rng, 4)
+        if timesteps > 0:
+            t = (jax.random.randint(t_rng, (B,), 0, timesteps) + 1.0) / timesteps
+        else:
+            t = jax.random.uniform(t_rng, (B,))
+        noise = jax.random.normal(noise_rng, x.shape, x.dtype)
+
+        def denoise_fn(x_t, t_, y_):
+            return model.apply(
+                {"params": params}, x_t, t_, y_, train=True, rngs={"dropout": drop_rng}
+            )
+
+        loss = diffusion.train_loss(
+            denoise_fn, x_0=x, t=t, y=y if use_cfg else None, noise=noise,
+            uncond_rng=uncond_rng if use_cfg else None,
+        )
+        return loss.mean()
+
+    def train_step(state, x, y, rng):
+        if num_accum == 1:
+            loss, grads = jax.value_and_grad(micro_loss)(state.params, x, y, rng)
+        else:
+            mb = x.shape[0] // num_accum
+            xs = x[: mb * num_accum].reshape(num_accum, mb, *x.shape[1:])
+            ys = (
+                y[: mb * num_accum].reshape(num_accum, mb, *y.shape[1:])
+                if y is not None
+                else None
+            )
+            keys = jax.random.split(rng, num_accum)
+
+            def body(carry, inp):
+                loss_acc, grad_acc = carry
+                xi, ki = inp[0], inp[-1]
+                yi = inp[1] if y is not None else None
+                li, gi = jax.value_and_grad(micro_loss)(state.params, xi, yi, ki)
+                grad_acc = jax.tree.map(lambda a, b: a + b / num_accum, grad_acc, gi)
+                return (loss_acc + li / num_accum, grad_acc), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            inputs = (xs, ys, keys) if y is not None else (xs, keys)
+            (loss, grads), _ = jax.lax.scan(body, (0.0, zero_grads), inputs)
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_step = state.step + 1
+        new_ema = state.ema_params
+        if use_ema and state.ema_params is not None:
+            new_ema = ema_update(state.ema_params, new_params, new_step, ema_decay)
+        return (
+            state.replace(step=new_step, params=new_params, opt_state=new_opt_state, ema_params=new_ema),
+            loss,
+        )
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (Orbax)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """Single-directory-per-epoch Orbax checkpoints with reference naming and
+    retention semantics (train_utils.py:328-348): ``ckpt_{epoch}``, final epoch
+    → ``ckpt_last``, oldest-deleted when over ``max_ckpts_kept``."""
+
+    def __init__(self, ckpt_dir: str, max_ckpts_kept: int = -1):
+        import orbax.checkpoint as ocp
+
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.max_ckpts_kept = max_ckpts_kept
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag) -> str:
+        return os.path.join(self.ckpt_dir, f"ckpt_{tag}")
+
+    def save(self, state: TrainState, epoch: int, epochs: int, extra: Optional[dict] = None):
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        tag = "last" if epoch == epochs else epoch
+        payload = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": np.int64(epoch),
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        path = self._path(tag)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, payload)
+        self._ckptr.wait_until_finished()
+        if extra is not None:
+            import json
+
+            with open(os.path.join(path, "extra_info.json"), "w") as f:
+                json.dump({k: _jsonable(v) for k, v in extra.items()}, f)
+        self._retain()
+        return path
+
+    def _retain(self):
+        if self.max_ckpts_kept == -1:
+            return
+        ckpts = [
+            os.path.join(self.ckpt_dir, d)
+            for d in os.listdir(self.ckpt_dir)
+            if d.startswith("ckpt_")
+        ]
+        while len(ckpts) > self.max_ckpts_kept:
+            oldest = min(ckpts, key=os.path.getctime)
+            shutil.rmtree(oldest)
+            ckpts.remove(oldest)
+
+    def latest_path(self) -> Optional[str]:
+        if not os.path.isdir(self.ckpt_dir):
+            return None
+        cands = [d for d in os.listdir(self.ckpt_dir) if d.startswith("ckpt_")]
+        if not cands:
+            return None
+
+        def key(d):
+            tag = d.split("_", 1)[1]
+            return (1, 0) if tag in ("last", "latest") else (0, int(tag))
+
+        return os.path.join(self.ckpt_dir, max(cands, key=key))
+
+    def restore(self, state: TrainState, path: Optional[str] = None):
+        path = path or self.latest_path()
+        if path is None or not os.path.exists(path):
+            raise FileNotFoundError(path or self.ckpt_dir)
+        target = {
+            "step": state.step,
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": np.int64(0),
+        }
+        if state.ema_params is not None:
+            target["ema_params"] = state.ema_params
+        restored = self._ckptr.restore(path, target)
+        new_state = state.replace(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            ema_params=restored.get("ema_params", state.ema_params),
+        )
+        return new_state, int(restored["epoch"])
+
+
+def _jsonable(v):
+    if isinstance(v, (np.generic, jnp.ndarray)):
+        return float(np.asarray(v))
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Trainer shell
+# ---------------------------------------------------------------------------
+
+
+class Trainer:
+    """Epoch-loop orchestration (reference Trainer, train_utils.py:62-352).
+
+    The hot path is one jitted call per macro-batch; cadence logic
+    (eval/image/ckpt intervals), stats, and sample-grid IO run host-side.
+    """
+
+    def __init__(
+        self,
+        model,
+        diffusion,
+        timesteps: int,
+        epochs: int,
+        trainloader,
+        optimizer_config: Optional[dict] = None,
+        sampler=None,
+        use_cfg: bool = False,
+        use_ema: bool = False,
+        grad_norm: float = 1.0,
+        num_accum: int = 1,
+        shape=None,
+        ckpt_intv: int = 512,
+        max_ckpts_kept: int = -1,
+        image_intv: int = 64,
+        eval_intv: int = 128,
+        num_save_images: int = 64,
+        ema_decay: float = 0.9999,
+        seed: int = 1234,
+        mesh=None,
+        sample_use_flash: bool = True,
+        dtype=None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.timesteps = timesteps
+        self.epochs = epochs
+        self.start_epoch = 0
+        self.trainloader = trainloader
+        self.sampler = sampler if sampler is not None else trainloader
+        self.use_cfg = use_cfg
+        self.use_ema = use_ema
+        self.num_accum = num_accum
+        self.shape = shape  # (H, W, C)
+        self.ckpt_intv = ckpt_intv
+        self.max_ckpts_kept = max_ckpts_kept
+        self.image_intv = image_intv
+        self.eval_intv = eval_intv
+        self.num_save_images = num_save_images
+        self.seed = seed
+
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.is_leader = jax.process_index() == 0
+        self.world_size = jax.process_count()
+
+        # --- RNG streams (replaces train_utils.py:124-126 generator scheme) ---
+        root = jax.random.key(seed)
+        self.init_key = jax.random.fold_in(root, 0)
+        self.train_key = jax.random.fold_in(root, 1)
+        self.sample_key = jax.random.fold_in(root, 2)
+        self.label_key = jax.random.fold_in(root, 3)
+
+        # --- init params + optimizer + state ---
+        opt_cfg = dict(lr=2e-4, beta1=0.9, beta2=0.999, weight_decay=0.0, warmup=0)
+        opt_cfg.update(optimizer_config or {})
+        opt_cfg["grad_norm"] = grad_norm
+        self.optimizer = make_optimizer(**opt_cfg)
+
+        H, W, C = self.shape
+        dummy_x = jnp.zeros((1, H, W, C), jnp.float32)
+        dummy_t = jnp.zeros((1,), jnp.float32)
+        dummy_y = self._dummy_label(1)
+        variables = model.init(
+            {"params": self.init_key, "dropout": self.init_key}, dummy_x, dummy_t, dummy_y
+        )
+        params = variables["params"]
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=self.optimizer.init(params),
+            ema_params=params if use_ema else None,
+        )
+        self.state = replicate_tree(self.mesh, state)
+
+        train_step = make_train_step(
+            model,
+            diffusion,
+            self.optimizer,
+            timesteps=timesteps,
+            num_accum=num_accum,
+            use_cfg=use_cfg,
+            ema_decay=ema_decay,
+            use_ema=use_ema,
+        )
+        rep = replicated(self.mesh)
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, batch_sharding(self.mesh, 4), None, None),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._sample_jit = {}
+
+        self.stats = RunningStatistics(loss=None)
+        self.ckpt_manager: Optional[CheckpointManager] = None
+
+    # ------------------------------------------------------------------
+
+    @property
+    def num_classes(self):
+        return self.model.num_classes
+
+    @property
+    def multitags(self):
+        return self.model.multitags
+
+    def _dummy_label(self, b):
+        if self.model.num_classes == 0:
+            return None
+        if self.model.multitags:
+            return jnp.zeros((b, self.model.num_classes), jnp.float32)
+        return jnp.zeros((b,), jnp.float32)
+
+    def _put_batch(self, x, y):
+        from .parallel import shard_batch
+
+        x = shard_batch(self.mesh, x)
+        if y is not None:
+            y = shard_batch(self.mesh, y)
+        return x, y
+
+    def step(self, x, y, epoch_stats=True):
+        B = x.shape[0]
+        rng = jax.random.fold_in(self.train_key, int(jax.device_get(self.state.step)))
+        x, y = self._put_batch(x, y)
+        self.state, loss = self._train_step(self.state, x, y, rng)
+        if epoch_stats:
+            self.stats.update(B, loss=float(jax.device_get(loss)) * B)
+        return loss
+
+    # ------------------------------------------------------------------
+    # sampling
+    # ------------------------------------------------------------------
+
+    def _sampling_params(self):
+        return self.state.ema_params if (self.use_ema and self.state.ema_params is not None) else self.state.params
+
+    def sample_fn(self, label=None, batch_size=None, use_ddim=False, diffusion=None, seed_key=None):
+        """Sample a batch under EMA weights; jitted & cached per shape config
+        (reference Trainer.sample_fn, train_utils.py:171-185)."""
+        diffusion = diffusion or self.diffusion
+        B = batch_size or self.num_save_images
+        H, W, C = self.shape
+        has_label = label is not None
+        cache_key = (B, use_ddim, has_label, id(diffusion))
+        if cache_key not in self._sample_jit:
+
+            def _sample(params, rng, y):
+                def denoise_fn(x_t, t_, y_):
+                    return self.model.apply({"params": params}, x_t, t_, y_, train=False)
+
+                return diffusion.p_sample(
+                    denoise_fn, (B, H, W, C), rng, label=y, use_ddim=use_ddim
+                )
+
+            self._sample_jit[cache_key] = jax.jit(_sample)
+        rng = seed_key if seed_key is not None else self.sample_key
+        out = self._sample_jit[cache_key](self._sampling_params(), rng, label)
+        return jax.device_get(out)
+
+    def sample_labels(self):
+        """Balanced class grid / dataset-drawn tag rows (train_utils.py:187-203)."""
+        n = self.num_save_images
+        if self.multitags:
+            ds = self.trainloader.dataset
+            idx = jax.random.randint(self.label_key, (n,), 0, len(ds))
+            targets = np.asarray(ds.targets)
+            return jnp.asarray(targets[np.asarray(idx)], jnp.float32)
+        K = self.num_classes
+        labels = np.arange(K, dtype=np.float32) + 1
+        repeats = np.asarray([n // K + int(i < n % K) for i in range(K)])
+        return jnp.asarray(np.repeat(labels, repeats))
+
+    # ------------------------------------------------------------------
+    # main loop
+    # ------------------------------------------------------------------
+
+    def train(self, evaluator=None, ckpt_dir=None, image_dir=None, use_ddim=False, logger=print):
+        from tqdm import tqdm
+
+        if ckpt_dir and self.ckpt_manager is None:
+            self.ckpt_manager = CheckpointManager(ckpt_dir, self.max_ckpts_kept)
+
+        nrow = 8
+        labels = None
+        if self.num_save_images:
+            if self.num_classes:
+                labels = self.sample_labels()
+                nrow = math.ceil(self.num_save_images / self.num_classes)
+            else:
+                nrow = math.floor(math.sqrt(self.num_save_images))
+
+        for e in range(self.start_epoch, self.epochs):
+            self.stats.reset()
+            self.trainloader.set_epoch(e)
+            results = {}
+            with tqdm(
+                self.trainloader,
+                desc=f"{e + 1}/{self.epochs} epochs",
+                disable=not self.is_leader,
+                total=len(self.trainloader),
+            ) as it:
+                for x, y in it:
+                    self.step(x, y if self.use_cfg or self.multitags else None)
+                    it.set_postfix(self.current_stats)
+
+                if self.is_leader and evaluator is not None and not (e + 1) % self.eval_intv:
+                    eval_results = evaluator.eval(
+                        lambda b, d=None: self.sample_fn(
+                            label=None, batch_size=b, use_ddim=use_ddim, diffusion=d
+                        )
+                    )
+                    results.update(self.current_stats)
+                    results.update(eval_results)
+                    it.set_postfix(results)
+
+            if ((e + 1) == self.epochs or not (e + 1) % self.image_intv) and self.num_save_images and image_dir:
+                x = self.sample_fn(
+                    label=labels, use_ddim=use_ddim,
+                    seed_key=jax.random.fold_in(self.sample_key, e),
+                )
+                if self.is_leader:
+                    save_image(x, os.path.join(image_dir, f"{e + 1}.png"), nrow=nrow)
+            if ((e + 1) == self.epochs or not (e + 1) % self.ckpt_intv) and self.max_ckpts_kept and self.ckpt_manager:
+                extra = results.copy() or dict(self.current_stats)
+                if self.is_leader:
+                    self.save_checkpoint(epoch=e + 1, extra=extra)
+            sync_global_devices(f"epoch_{e}")
+
+    @property
+    def current_stats(self):
+        return {k: round(v, 6) for k, v in self.stats.extract().items()}
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, epoch: int, extra=None):
+        assert self.ckpt_manager is not None
+        host_state = jax.device_get(self.state)
+        return self.ckpt_manager.save(host_state, epoch, self.epochs, extra=extra)
+
+    def load_checkpoint(self, ckpt_path=None, ckpt_dir=None):
+        if self.ckpt_manager is None:
+            assert ckpt_dir is not None
+            self.ckpt_manager = CheckpointManager(ckpt_dir, self.max_ckpts_kept)
+        host_state = jax.device_get(self.state)
+        new_state, epoch = self.ckpt_manager.restore(host_state, ckpt_path)
+        self.state = replicate_tree(self.mesh, new_state)
+        self.start_epoch = epoch
+
+
+class Evaluator:
+    """In-training FID evaluation (reference train_utils.py:355-378), with the
+    clean signature the reference intended: sample_fn(batch_size) -> images."""
+
+    def __init__(self, dataset: str, diffusion=None, eval_batch_size=256, max_eval_count=10000, precomputed_dir="precomputed"):
+        from .metrics.fid import InceptionStatistics, get_precomputed, calc_fd
+
+        self.diffusion = diffusion
+        self.istats = InceptionStatistics()
+        self.eval_batch_size = eval_batch_size
+        self.max_eval_count = max_eval_count
+        self.target_mean, self.target_var = get_precomputed(dataset, download_dir=precomputed_dir)
+        self._calc_fd = calc_fd
+
+    def eval(self, sample_fn):
+        self.istats.reset()
+        for _ in range(0, self.max_eval_count + self.eval_batch_size, self.eval_batch_size):
+            x = sample_fn(self.eval_batch_size, self.diffusion)
+            self.istats.update(np.asarray(x))
+        gen_mean, gen_var = self.istats.get_statistics()
+        return {"fid": self._calc_fd(gen_mean, gen_var, self.target_mean, self.target_var)}
