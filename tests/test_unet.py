@@ -1,0 +1,110 @@
+"""UNet parity tests: parameter count + forward outputs vs the torch reference
+with converted weights (SURVEY.md §7 build step 2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from vdiff_tpu.models.unet import UNet
+from vdiff_tpu.models.convert import torch_unet_to_flax
+from tests.ref_loader import load
+
+ref_unet = load("models.unet")
+
+
+def _count_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+SMALL = dict(
+    in_channels=3,
+    hid_channels=64,
+    out_channels=3,
+    ch_multipliers=(1, 2),
+    num_res_blocks=2,
+    apply_attn=(False, True),
+    drop_rate=0.0,
+    num_heads=2,
+)
+
+
+def _build_pair(num_classes=0, multitags=False, **overrides):
+    cfg = dict(SMALL, **overrides)
+    tm = ref_unet.UNet(num_classes=num_classes, multitags=multitags, **cfg)
+    tm.eval()
+    jm = UNet(num_classes=num_classes, multitags=multitags, use_flash=False, **cfg)
+    params = torch_unet_to_flax(tm.state_dict(), jm)
+    return tm, jm, {"params": params}
+
+
+def _forward_pair(tm, jm, variables, B=2, res=16, num_classes=0, multitags=False):
+    rng = np.random.RandomState(0)
+    x = rng.randn(B, res, res, SMALL["in_channels"]).astype(np.float32)
+    t = rng.rand(B).astype(np.float32)
+    if multitags:
+        y = (rng.rand(B, num_classes) > 0.5).astype(np.float32)
+        ty = torch.as_tensor(y)
+        jy = jnp.asarray(y)
+    elif num_classes:
+        y = rng.randint(0, num_classes + 1, (B,))
+        ty = torch.as_tensor(y)
+        jy = jnp.asarray(y.astype(np.float32))
+    else:
+        ty = jy = None
+    with torch.inference_mode():
+        ref = tm(torch.as_tensor(x).permute(0, 3, 1, 2), torch.as_tensor(t), ty)
+    ours = jm.apply(variables, jnp.asarray(x), jnp.asarray(t), jy)
+    return np.asarray(ours), ref.permute(0, 2, 3, 1).numpy()
+
+
+def test_param_count_matches_reference():
+    tm, jm, variables = _build_pair()
+    n_torch = sum(p.numel() for p in tm.parameters())
+    assert _count_params(variables["params"]) == n_torch
+
+
+def test_forward_matches_reference_uncond():
+    tm, jm, variables = _build_pair()
+    ours, ref = _forward_pair(tm, jm, variables)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_forward_matches_reference_class_cond():
+    tm, jm, variables = _build_pair(num_classes=10)
+    ours, ref = _forward_pair(tm, jm, variables, num_classes=10)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_forward_matches_reference_multitags():
+    tm, jm, variables = _build_pair(num_classes=8, multitags=True)
+    ours, ref = _forward_pair(tm, jm, variables, num_classes=8, multitags=True)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_forward_three_levels_param_count():
+    """The README cifar10 shape: 3 levels, attn (F, T, T), head via num_heads=1."""
+    cfg = dict(
+        in_channels=3, hid_channels=32, out_channels=3,
+        ch_multipliers=(1, 1, 1), num_res_blocks=3,
+        apply_attn=(False, True, True), num_heads=1, drop_rate=0.0,
+    )
+    tm = ref_unet.UNet(**cfg)
+    jm = UNet(use_flash=False, **cfg)
+    params = torch_unet_to_flax(tm.state_dict(), jm)
+    assert _count_params(params) == sum(p.numel() for p in tm.parameters())
+    tm.eval()
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    t = rng.rand(2).astype(np.float32)
+    with torch.inference_mode():
+        ref = tm(torch.as_tensor(x).permute(0, 3, 1, 2), torch.as_tensor(t))
+    ours = jm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_head_dim_attention_variant():
+    tm, jm, variables = _build_pair(num_heads=None, head_dim=32)
+    ours, ref = _forward_pair(tm, jm, variables)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)

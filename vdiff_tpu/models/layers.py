@@ -39,7 +39,7 @@ def lecun_trunc_normal(scale: float = 1.0):
     return init
 
 
-def Dense(features: int, use_bias: bool = True, init_scale: float = 1.0, dtype=None):
+def Dense(features: int, use_bias: bool = True, init_scale: float = 1.0, dtype=None, name=None):
     """Linear with reference init semantics (modules.py:55-84)."""
     return nn.Dense(
         features,
@@ -47,6 +47,7 @@ def Dense(features: int, use_bias: bool = True, init_scale: float = 1.0, dtype=N
         kernel_init=lecun_trunc_normal(init_scale),
         bias_init=nn.initializers.zeros,
         dtype=dtype,
+        name=name,
     )
 
 
@@ -58,6 +59,7 @@ def Conv(
     use_bias: bool = True,
     init_scale: float = 1.0,
     dtype=None,
+    name=None,
 ):
     """NHWC conv with reference init semantics (modules.py:87-144).
 
@@ -76,6 +78,7 @@ def Conv(
         kernel_init=lecun_trunc_normal(init_scale),
         bias_init=nn.initializers.zeros,
         dtype=dtype,
+        name=name,
     )
 
 
