@@ -30,9 +30,21 @@ SMALL = dict(
 )
 
 
+def _perturb_zero_init(tm):
+    """Fill zero-initialized output projections with noise — otherwise the
+    zero-init out_conv makes the whole forward identically zero and the parity
+    comparison vacuous."""
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.ndim >= 2 and float(p.abs().max()) == 0.0:
+                p.normal_(0.0, 0.05)
+    return tm
+
+
 def _build_pair(num_classes=0, multitags=False, **overrides):
     cfg = dict(SMALL, **overrides)
-    tm = ref_unet.UNet(num_classes=num_classes, multitags=multitags, **cfg)
+    torch.manual_seed(0)
+    tm = _perturb_zero_init(ref_unet.UNet(num_classes=num_classes, multitags=multitags, **cfg))
     tm.eval()
     jm = UNet(num_classes=num_classes, multitags=multitags, use_flash=False, **cfg)
     params = torch_unet_to_flax(tm.state_dict(), jm)
@@ -90,7 +102,7 @@ def test_forward_three_levels_param_count():
         ch_multipliers=(1, 1, 1), num_res_blocks=3,
         apply_attn=(False, True, True), num_heads=1, drop_rate=0.0,
     )
-    tm = ref_unet.UNet(**cfg)
+    tm = _perturb_zero_init(ref_unet.UNet(**cfg))
     jm = UNet(use_flash=False, **cfg)
     params = torch_unet_to_flax(tm.state_dict(), jm)
     assert _count_params(params) == sum(p.numel() for p in tm.parameters())

@@ -134,7 +134,7 @@ class GaussianDiffusion:
 
         if self.loss_type == "kl":
             logsnr_s, _ = self.t2logsnr(s, ndim)
-            kl, nll = self._loss_term_bpd(
+            kl, nll, _ = self._loss_term_bpd(
                 model_out, x_0=x_0, x_t=x_t, logsnr_s=logsnr_s, logsnr_t=logsnr_t,
                 clip_denoised=False,
             )
