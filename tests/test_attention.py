@@ -1,0 +1,50 @@
+"""Attention op tests: XLA path vs direct softmax, and the Pallas flash kernel
+in TPU-interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vdiff_tpu.ops.attention import _xla_attention, flash_attention
+
+
+def _qkv(B=2, T=256, N=2, C=128, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(B, T, N, C).astype(np.float32) * 0.5)
+    return mk(), mk(), mk()
+
+
+def _direct(q, k, v):
+    B, T, N, C = q.shape
+    logits = np.einsum("btnc,bsnc->bnts", np.asarray(q), np.asarray(k)) / np.sqrt(C)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    out = np.einsum("bnts,bsnc->btnc", w, np.asarray(v))
+    return out.reshape(B, T, N * C)
+
+
+def test_xla_attention_matches_direct():
+    q, k, v = _qkv(T=64, C=32)
+    out = _xla_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), _direct(q, k, v), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(T=256, C=128)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_head_folding():
+    """Multi-head folding must keep heads independent and channel order n*C+c."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(B=1, T=128, N=2, C=128, seed=3)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), _direct(q, k, v), rtol=1e-4, atol=1e-4)

@@ -111,7 +111,7 @@ def test_ema_warmup_rule():
     # n=1 → decay=2/11; shadow += (1-2/11)(1-0)
     np.testing.assert_allclose(np.asarray(out["w"]), 9 / 11, rtol=1e-6)
     out2 = ema_update(e, p, num_updates=1e9, decay=0.9999)
-    np.testing.assert_allclose(np.asarray(out2["w"]), 1 - 0.9999, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out2["w"]), 1 - np.float32(0.9999), rtol=1e-4)
 
 
 def test_ema_in_train_step():

@@ -282,9 +282,10 @@ class DataLoader:
         else:
             x = ds.images[idx]
             y = ds.targets[idx]
-        if getattr(ds, "random_flip", False):
-            x = np.where(flip_rng[:, None, None, None], x[:, :, ::-1, :], x)
-        x = x.astype(np.float32) / 127.5 - 1.0
+        flips = flip_rng if getattr(ds, "random_flip", False) else None
+        from . import native
+
+        x = native.normalize_flip(np.ascontiguousarray(x), flips)
         return x, y
 
     def __iter__(self):

@@ -1,0 +1,148 @@
+"""Fused GroupNorm(+FiLM)(+SiLU) — Pallas TPU kernel + XLA reference path.
+
+The ResBlock hot path (reference unet.py:137-148) is GN → SiLU → conv and
+GN → FiLM → SiLU → conv. The convs ride the MXU; the normalization chain is
+HBM-bandwidth-bound. This kernel computes group statistics, the affine, the
+FiLM modulation and the SiLU in one VMEM round trip per sample, folding
+everything into a single per-channel scale/offset applied to x:
+
+    y = silu( x * A + B ),  A = γ·rsqrt(var+eps)·(1+film_scale)
+                            B = (β − mean·γ·rsqrt(var+eps))·(1+film_scale) + film_shift
+
+Used on the inference/sampling path (no dropout, no autodiff); training uses
+the XLA path, which the compiler fuses well enough for the backward story.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def gn_film_silu_reference(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    film_shift: Optional[jax.Array] = None,
+    film_scale: Optional[jax.Array] = None,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    apply_silu: bool = True,
+) -> jax.Array:
+    """XLA path. x: (B, H, W, C); gamma/beta: (C,); film_*: (B, C) or None."""
+    B, H, W, C = x.shape
+    xg = x.reshape(B, H * W, num_groups, C // num_groups).astype(jnp.float32)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = jnp.square(xg - mean).mean(axis=(1, 3), keepdims=True)
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, H, W, C)
+    y = xn * gamma + beta
+    if film_scale is not None:
+        y = y * (1.0 + film_scale[:, None, None, :])
+    if film_shift is not None:
+        y = y + film_shift[:, None, None, :]
+    if apply_silu:
+        y = jax.nn.silu(y)
+    return y.astype(x.dtype)
+
+
+def _gn_kernel(x_ref, gamma_ref, beta_ref, shift_ref, scale_ref, o_ref, *,
+               num_groups: int, eps: float, apply_silu: bool, has_film: bool):
+    x = x_ref[0].astype(jnp.float32)  # (HW, C)
+    HW, C = x.shape
+    cg = C // num_groups
+
+    # group statistics: channel sums then group-fold (tiny second reduction)
+    csum = jnp.sum(x, axis=0)  # (C,)
+    csq = jnp.sum(x * x, axis=0)
+    gsum = jnp.sum(csum.reshape(num_groups, cg), axis=1)  # (G,)
+    gsq = jnp.sum(csq.reshape(num_groups, cg), axis=1)
+    n = HW * cg
+    mean_g = gsum / n
+    var_g = gsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+
+    # per-channel fold: broadcast group values to channels
+    mean_c = jnp.repeat(mean_g, cg)
+    inv_c = jnp.repeat(inv_g, cg)
+    gamma = gamma_ref[0]
+    beta = beta_ref[0]
+    a = gamma * inv_c
+    b = beta - mean_c * a
+    if has_film:
+        fs = 1.0 + scale_ref[0].astype(jnp.float32)
+        a = a * fs
+        b = b * fs + shift_ref[0].astype(jnp.float32)
+
+    y = x * a[None, :] + b[None, :]
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def gn_film_silu_pallas(
+    x: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    film_shift: Optional[jax.Array] = None,
+    film_scale: Optional[jax.Array] = None,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+    apply_silu: bool = True,
+) -> jax.Array:
+    B, H, W, C = x.shape
+    HW = H * W
+    has_film = film_shift is not None
+    x2 = x.reshape(B, HW, C)
+    gamma2 = jnp.broadcast_to(gamma.astype(jnp.float32)[None, :], (B, C))
+    beta2 = jnp.broadcast_to(beta.astype(jnp.float32)[None, :], (B, C))
+    if has_film:
+        shift2, scale2 = film_shift, film_scale
+    else:
+        shift2 = jnp.zeros((B, C), x.dtype)
+        scale2 = jnp.zeros((B, C), x.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel, num_groups=num_groups, eps=eps,
+            apply_silu=apply_silu, has_film=has_film,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
+    )(x2, gamma2, beta2, shift2, scale2)
+    return out.reshape(B, H, W, C)
+
+
+def gn_film_silu(
+    x, gamma, beta, film_shift=None, film_scale=None, *,
+    num_groups: int = 32, eps: float = 1e-6, apply_silu: bool = True,
+    use_pallas: Optional[bool] = None,
+):
+    """Dispatch: Pallas on TPU for tile-friendly shapes, else XLA."""
+    B, H, W, C = x.shape
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and C % 128 == 0
+            and (H * W) % 8 == 0
+            and H * W * C * 4 <= 8 * 1024 * 1024
+        )
+    fn = gn_film_silu_pallas if use_pallas else gn_film_silu_reference
+    return fn(
+        x, gamma, beta, film_shift, film_scale,
+        num_groups=num_groups, eps=eps, apply_silu=apply_silu,
+    )

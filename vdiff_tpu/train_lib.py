@@ -194,7 +194,7 @@ class CheckpointManager:
             "step": state.step,
             "params": state.params,
             "opt_state": state.opt_state,
-            "epoch": np.int64(epoch),
+            "epoch": np.asarray(epoch, dtype=np.int64),
         }
         if state.ema_params is not None:
             payload["ema_params"] = state.ema_params
@@ -245,7 +245,7 @@ class CheckpointManager:
             "step": state.step,
             "params": state.params,
             "opt_state": state.opt_state,
-            "epoch": np.int64(0),
+            "epoch": np.asarray(0, dtype=np.int64),
         }
         if state.ema_params is not None:
             target["ema_params"] = state.ema_params
