@@ -349,7 +349,8 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
-            ema_params=params if use_ema else None,
+            # distinct buffers: aliasing params breaks jit donation
+            ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
         )
         self.state = replicate_tree(self.mesh, state)
 
