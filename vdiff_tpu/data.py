@@ -312,6 +312,28 @@ class DataLoader:
             yield item
 
 
+def train_val_split(dataset: str, val_size: float, random_seed: Optional[int] = None):
+    """Shuffled index split (reference datasets.py:154-162)."""
+    train_size = DATA_INFO[dataset]["train_size"]
+    if random_seed is not None:
+        np.random.seed(random_seed)
+    inds = np.arange(train_size)
+    np.random.shuffle(inds)
+    n_val = int(train_size * val_size)
+    return inds[n_val:], inds[:n_val]
+
+
+def SubsetDataset(base: ArrayDataset, indices) -> ArrayDataset:
+    """Materialized index-subset of an ArrayDataset (reference Subset +
+    SubsetSequentialSampler, datasets.py:165-173,219)."""
+    indices = np.asarray(indices)
+    return ArrayDataset(
+        images=base.images[indices],
+        targets=np.asarray(base.targets)[indices],
+        random_flip=getattr(base, "random_flip", False),
+    )
+
+
 def get_dataloader(
     dataset: str,
     batch_size: int,
@@ -337,7 +359,15 @@ def get_dataloader(
     if distributed:
         batch_size = batch_size // process_count
 
-    ds = _build_dataset(dataset, root, split)
+    assert isinstance(val_size, float) and 0 <= val_size < 1
+    if dataset != "celeba" and split in {"train", "valid"} and val_size > 0:
+        base = _build_dataset(dataset, root, "train")
+        train_inds, val_inds = train_val_split(dataset, val_size, random_seed)
+        ds = SubsetDataset(base, {"train": train_inds, "valid": val_inds}[split])
+    else:
+        if val_size == 0 and split == "valid":
+            raise ValueError("valid split requires val_size > 0")
+        ds = _build_dataset(dataset, root, split)
     loader = DataLoader(
         ds,
         batch_size=batch_size,

@@ -107,3 +107,33 @@ def avg_pool_2x(x: jax.Array) -> jax.Array:
     B, H, W, C = x.shape
     x = x.reshape(B, H // 2, 2, W // 2, 2, C)
     return x.mean(axis=(2, 4))
+
+
+def _pad_amounts(size: int, k: int, s: int, same: bool):
+    if same:
+        pad = s * max(0, -(-size // s) - 1) + k - size
+    else:  # valid
+        pad = s * (-(-(size - k + 1) // s) - 1) + k - size
+    pad = max(0, pad)
+    return pad // 2, pad - pad // 2
+
+
+def valid_pad_2d(x: jax.Array, kernel_size, stride, mode="constant", value=0.0):
+    """Functional ValidPad2d (reference modules.py:147-163; unused by UNet,
+    provided for library parity). x: NHWC."""
+    k1, k2 = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    s1, s2 = (stride, stride) if isinstance(stride, int) else stride
+    t, b = _pad_amounts(x.shape[1], k1, s1, same=False)
+    l, r = _pad_amounts(x.shape[2], k2, s2, same=False)
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode=mode,
+                   constant_values=value if mode == "constant" else 0)
+
+
+def same_pad_2d(x: jax.Array, kernel_size, stride, mode="constant", value=0.0):
+    """Functional SamePad2d (reference modules.py:166-181). x: NHWC."""
+    k1, k2 = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
+    s1, s2 = (stride, stride) if isinstance(stride, int) else stride
+    t, b = _pad_amounts(x.shape[1], k1, s1, same=True)
+    l, r = _pad_amounts(x.shape[2], k2, s2, same=True)
+    return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode=mode,
+                   constant_values=value if mode == "constant" else 0)

@@ -433,6 +433,28 @@ def get_timestep_embedding(timesteps, embed_dim: int, dtype=jnp.float32, scale: 
     return embed
 
 
+def discrete_klv2d(hist1, hist2, eps: float = 1e-9):
+    """Discretized empirical KL between two 2-D histograms (functions.py:78-82,
+    toy-data evaluation helper)."""
+    hist1, hist2 = np.asarray(hist1), np.asarray(hist2)
+    return np.sum(hist2 * (np.log(hist2 + eps) - np.log(hist1 + eps)))
+
+
+def hist2d(data, bins, value_range=None):
+    """2-D histogram matrix for a point set (functions.py:85-99)."""
+    data = np.asarray(data)
+    if bins == "auto":
+        bins = math.floor(math.sqrt(len(data) // 10))
+    if value_range is not None:
+        if isinstance(value_range, (int, float)):
+            value_range = ((-value_range, value_range),) * 2
+        elif hasattr(value_range, "__iter__"):
+            if not hasattr(next(iter(value_range)), "__iter__"):
+                value_range = (tuple(value_range),) * 2
+    x, y = data[:, 0], data[:, 1]
+    return np.histogram2d(x, y, bins=bins, range=value_range)[0]
+
+
 def broadcast_to_ndim(arr, ndim: int):
     """Reshape a (B,)-vector for broadcasting against an ndim tensor (diffusion.py:19-27)."""
     xp = _xp(arr)

@@ -51,6 +51,48 @@ def save_image(x, path: str, nrow: int = 8, value_range=(-1.0, 1.0)) -> None:
     Image.fromarray(arr).save(path)
 
 
+def split_squeeze(data):
+    """(N, 2) → (x, y) vectors (reference utils.py:117-120)."""
+    x, y = np.split(np.asarray(data), 2, axis=1)
+    return x.squeeze(1), y.squeeze(1)
+
+
+def infer_range(dataset, precision: int = 2):
+    """Infer x/y axis limits over batches of 2-D points (utils.py:87-97)."""
+    p = precision
+    xlim = np.array([-np.inf, np.inf])
+    ylim = np.array([-np.inf, np.inf])
+    clip = lambda lo, hi, lim: np.clip([math.floor(p * lo), math.ceil(p * hi)], *lim)
+    for bch in dataset:
+        bch = np.asarray(bch)
+        xlim = clip(bch[:, 0].min(), bch[:, 0].max(), xlim)
+        ylim = clip(bch[:, 1].min(), bch[:, 1].max(), ylim)
+    return xlim / p, ylim / p
+
+
+def save_scatterplot(fpath, x, y=None, xlim=None, ylim=None):
+    """Toy-data scatterplot (reference utils.py:100-114)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(x)
+    if x.ndim == 2:
+        x, y = split_squeeze(x)
+    elif y is None:
+        x, y = np.arange(len(x)), x
+    plt.figure(figsize=(6, 6))
+    plt.scatter(x, y, s=0.5, alpha=0.7)
+    if xlim is not None:
+        plt.xlim(*xlim)
+    if ylim is not None:
+        plt.ylim(*ylim)
+    plt.tight_layout()
+    plt.savefig(fpath)
+    plt.close()
+
+
 class RunningStatistics:
     """Streaming per-epoch averages (reference train_utils.py:30-59)."""
 
