@@ -269,6 +269,27 @@ def test_p_sample_progressive_shapes():
     assert preds.shape == (T // 4, 2, RES, RES, 3)
 
 
+def test_learned_variance_sampling_and_kl_loss():
+    """model_var_type='learned': channel-split intp_frac drives a log-space
+    variance lerp (reference diffusion.py:320-324, 349-351)."""
+    tm, jm, params = _models(out_channels=6)
+    _, jax_fn = _fns(6, 0)
+    gd = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=T,
+        model_out_type="x0", model_var_type="learned", reweight_type="snr",
+        loss_type="kl", w_guide=0.0, p_uncond=0.0,
+    )
+    out = gd.p_sample(jax_fn, (2, RES, RES, 3), jax.random.key(3))
+    assert out.shape == (2, RES, RES, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    x0 = jnp.clip(jax.random.normal(jax.random.key(4), (2, RES, RES, 3)), -1, 1)
+    t = jnp.asarray([0.3, 0.9])
+    noise = jax.random.normal(jax.random.key(5), x0.shape)
+    loss = gd.train_loss(jax_fn, x_0=x0, t=t, y=None, noise=noise)
+    assert loss.shape == (2,) and np.all(np.isfinite(np.asarray(loss)))
+
+
 def test_calc_all_bpd_runs():
     tm, jm, params = _models(out_channels=3)
     _, jax_fn = _fns(3, 0)

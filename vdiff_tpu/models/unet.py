@@ -31,6 +31,7 @@ import flax.linen as nn
 
 from ..ops.numerics import get_timestep_embedding
 from ..ops.attention import spatial_attention
+from ..ops.groupnorm import gn_film_silu
 from .layers import (
     Conv,
     Dense,
@@ -38,6 +39,29 @@ from .layers import (
     nearest_upsample,
     one_hot_exclude_zero,
 )
+
+
+class FusableGroupNorm(nn.Module):
+    """GroupNorm(32, eps=1e-6) with optional fused FiLM+SiLU epilogue.
+
+    Parameter-tree compatible with ``nn.GroupNorm`` (scale/bias), so converted
+    reference checkpoints load unchanged. On TPU at inference the whole
+    GN→FiLM→SiLU chain runs as one Pallas kernel (ops/groupnorm.py); under
+    training/autodiff it uses the XLA composition.
+    """
+
+    use_pallas_ok: bool = True
+
+    @nn.compact
+    def __call__(self, x, film_shift=None, film_scale=None, *, apply_silu=False, fuse=False):
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,))
+        beta = self.param("bias", nn.initializers.zeros, (C,))
+        use_pallas = None if (fuse and self.use_pallas_ok) else False
+        return gn_film_silu(
+            x, gamma, beta, film_shift, film_scale,
+            num_groups=32, eps=1e-6, apply_silu=apply_silu, use_pallas=use_pallas,
+        )
 
 
 class AttentionBlock(nn.Module):
@@ -53,7 +77,7 @@ class AttentionBlock(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, train: bool = False):
         in_dim = x.shape[-1]
         head_dim, num_heads = self.head_dim, self.num_heads
         if head_dim is None:
@@ -66,7 +90,7 @@ class AttentionBlock(nn.Module):
 
         skip = x
         B, H, W, _ = x.shape
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        h = FusableGroupNorm(name="norm")(x, apply_silu=False, fuse=not train)
         qkv = Conv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         tok = lambda a: a.reshape(B, H * W, num_heads, head_dim)
@@ -102,18 +126,20 @@ class ResidualBlock(nn.Module):
         if in_channels != self.out_channels:
             skip = Conv(self.out_channels, (1, 1), name="skip", dtype=self.dtype)(skip)
 
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
-        h = nn.silu(h)
+        # fused GN(+FiLM)+SiLU at inference (no autodiff through the kernel)
+        fuse = not train
+
+        h = FusableGroupNorm(name="norm1")(x, apply_silu=True, fuse=fuse)
         h = Conv(self.out_channels, (3, 3), name="conv1", dtype=self.dtype)(resample(h))
 
         # FiLM: fc(SiLU(t_emb)) → (shift, scale); reference chunks shift first
         # (unet.py:142-146)
         emb = Dense(2 * self.out_channels, name="fc", dtype=self.dtype)(nn.silu(t_emb))
-        shift, scale = jnp.split(emb[:, None, None, :], 2, axis=-1)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
-        h = (1.0 + scale) * h + shift
-
-        h = nn.silu(h)
+        shift, scale = jnp.split(emb, 2, axis=-1)
+        # reference order: conv2(dropout(silu(FiLM(GN(h))))) (unet.py:147)
+        h = FusableGroupNorm(name="norm2")(
+            h, film_shift=shift, film_scale=scale, apply_silu=True, fuse=fuse
+        )
         if self.drop_rate > 0.0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
         h = Conv(self.out_channels, (3, 3), init_scale=0.0, name="conv2", dtype=self.dtype)(h)
@@ -149,7 +175,7 @@ class _ResAttn(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name="attn",
-            )(x)
+            )(x, train=train)
         return x
 
 
@@ -255,7 +281,7 @@ class UNet(nn.Module):
         h = AttentionBlock(
             head_dim=head_dim, num_heads=num_heads, use_flash=self.use_flash,
             dtype=self.dtype, name="mid_attn",
-        )(h)
+        )(h, train=train)
         h = ResidualBlock(mid_ch, drop_rate=self.drop_rate, dtype=self.dtype, name="mid_res2")(
             h, t_emb, train=train
         )
@@ -279,7 +305,6 @@ class UNet(nn.Module):
         assert len(hs) == 0
 
         # --- output head: GN → SiLU → zero-init conv (reference unet.py:229-232) ---
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="out_norm")(h)
-        h = nn.silu(h)
+        h = FusableGroupNorm(name="out_norm")(h, apply_silu=True, fuse=not train)
         h = Conv(self.out_channels, (3, 3), init_scale=0.0, name="out_conv")(h)
         return h

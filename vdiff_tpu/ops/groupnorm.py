@@ -53,33 +53,40 @@ def gn_film_silu_reference(
 
 def _gn_kernel(x_ref, gamma_ref, beta_ref, shift_ref, scale_ref, o_ref, *,
                num_groups: int, eps: float, apply_silu: bool, has_film: bool):
+    b = pl.program_id(0)
     x = x_ref[0].astype(jnp.float32)  # (HW, C)
     HW, C = x.shape
     cg = C // num_groups
 
-    # group statistics: channel sums then group-fold (tiny second reduction)
-    csum = jnp.sum(x, axis=0)  # (C,)
-    csq = jnp.sum(x * x, axis=0)
-    gsum = jnp.sum(csum.reshape(num_groups, cg), axis=1)  # (G,)
-    gsq = jnp.sum(csq.reshape(num_groups, cg), axis=1)
-    n = HW * cg
-    mean_g = gsum / n
-    var_g = gsq / n - mean_g * mean_g
+    # Group statistics via a one-hot channel→group matrix on the MXU: Mosaic
+    # cannot shape-cast along lanes ((C,) → (G, cg)), so the fold and the
+    # broadcast back are both tiny (1,C)x(C,G) matmuls — everything stays 2-D.
+    chan = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
+    M = (chan // cg == grp).astype(jnp.float32)  # (C, G)
+
+    csum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
+    csq = jnp.sum(x * x, axis=0, keepdims=True)
+    n = float(HW * cg)
+    hi = jax.lax.Precision.HIGHEST
+    mean_g = jnp.dot(csum, M, preferred_element_type=jnp.float32, precision=hi) / n  # (1, G)
+    var_g = jnp.dot(csq, M, preferred_element_type=jnp.float32, precision=hi) / n - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
 
-    # per-channel fold: broadcast group values to channels
-    mean_c = jnp.repeat(mean_g, cg)
-    inv_c = jnp.repeat(inv_g, cg)
-    gamma = gamma_ref[0]
-    beta = beta_ref[0]
-    a = gamma * inv_c
-    b = beta - mean_c * a
-    if has_film:
-        fs = 1.0 + scale_ref[0].astype(jnp.float32)
-        a = a * fs
-        b = b * fs + shift_ref[0].astype(jnp.float32)
+    # broadcast group values back to channels: (1, G) x (G, C)
+    mean_c = jnp.dot(mean_g, M.T, preferred_element_type=jnp.float32, precision=hi)  # (1, C)
+    inv_c = jnp.dot(inv_g, M.T, preferred_element_type=jnp.float32, precision=hi)
 
-    y = x * a[None, :] + b[None, :]
+    gamma = gamma_ref[pl.ds(b, 1), :]  # (1, C)
+    beta = beta_ref[pl.ds(b, 1), :]
+    a = gamma * inv_c
+    off = beta - mean_c * a
+    if has_film:
+        fs = 1.0 + scale_ref[pl.ds(b, 1), :].astype(jnp.float32)
+        a = a * fs
+        off = off * fs + shift_ref[pl.ds(b, 1), :].astype(jnp.float32)
+
+    y = x * a + off
     if apply_silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -116,10 +123,11 @@ def gn_film_silu_pallas(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            # (B, C) vectors ride along whole (tiny); kernel slices row b
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, HW, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, HW, C), x.dtype),
