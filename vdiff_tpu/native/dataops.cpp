@@ -18,7 +18,10 @@ extern "C" {
 void normalize_flip_u8_f32(const uint8_t* src, float* dst,
                            const uint8_t* flip,
                            int64_t n, int64_t h, int64_t w, int64_t c) {
-  const float scale = 1.0f / 127.5f;
+  // 256-entry LUT with exact f32 division semantics (x/127.5f - 1.0f),
+  // bit-matching the numpy reference path (255 → exactly 1.0f).
+  float lut[256];
+  for (int v = 0; v < 256; ++v) lut[v] = (float)v / 127.5f - 1.0f;
   const int64_t row = w * c;
   const int64_t img = h * row;
   for (int64_t i = 0; i < n; ++i) {
@@ -29,12 +32,12 @@ void normalize_flip_u8_f32(const uint8_t* src, float* dst,
       const uint8_t* sr = s + y * row;
       float* dr = d + y * row;
       if (!f) {
-        for (int64_t j = 0; j < row; ++j) dr[j] = sr[j] * scale - 1.0f;
+        for (int64_t j = 0; j < row; ++j) dr[j] = lut[sr[j]];
       } else {
         for (int64_t x = 0; x < w; ++x) {
           const uint8_t* sp = sr + (w - 1 - x) * c;
           float* dp = dr + x * c;
-          for (int64_t k = 0; k < c; ++k) dp[k] = sp[k] * scale - 1.0f;
+          for (int64_t k = 0; k < c; ++k) dp[k] = lut[sp[k]];
         }
       }
     }

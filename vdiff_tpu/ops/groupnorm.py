@@ -109,11 +109,14 @@ def gn_film_silu_pallas(
     x2 = x.reshape(B, HW, C)
     gamma2 = jnp.broadcast_to(gamma.astype(jnp.float32)[None, :], (B, C))
     beta2 = jnp.broadcast_to(beta.astype(jnp.float32)[None, :], (B, C))
+    # side inputs are kept f32: dynamic sublane row-slices of bf16 (tile 16)
+    # arrays fail Mosaic's alignment proof, and these are tiny
     if has_film:
-        shift2, scale2 = film_shift, film_scale
+        shift2 = film_shift.astype(jnp.float32)
+        scale2 = film_scale.astype(jnp.float32)
     else:
-        shift2 = jnp.zeros((B, C), x.dtype)
-        scale2 = jnp.zeros((B, C), x.dtype)
+        shift2 = jnp.zeros((B, C), jnp.float32)
+        scale2 = jnp.zeros((B, C), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -140,15 +143,24 @@ def gn_film_silu(
     num_groups: int = 32, eps: float = 1e-6, apply_silu: bool = True,
     use_pallas: Optional[bool] = None,
 ):
-    """Dispatch: Pallas on TPU for tile-friendly shapes, else XLA."""
+    """Dispatch between the Pallas kernel and the XLA composition.
+
+    Measured on v5e (bench.py, hid=256 UNet, 256-step DDIM): the per-sample
+    Pallas grid LOSES to XLA's own fusion of this chain (10.8 vs 15.3
+    samples/s/chip) — XLA already fuses GN+FiLM+SiLU into neighboring ops and
+    pipelines across the batch. The kernel therefore stays opt-in
+    (``use_pallas=True``) pending a batched-grid rewrite; ``None``/default
+    routes to XLA everywhere.
+    """
     B, H, W, C = x.shape
     if use_pallas is None:
-        use_pallas = (
+        use_pallas = False
+    if use_pallas:
+        assert (
             jax.default_backend() == "tpu"
             and C % 128 == 0
             and (H * W) % 8 == 0
-            and H * W * C * 4 <= 8 * 1024 * 1024
-        )
+        ), "pallas GN requires TPU and tile-aligned shapes"
     fn = gn_film_silu_pallas if use_pallas else gn_film_silu_reference
     return fn(
         x, gamma, beta, film_shift, film_scale,
