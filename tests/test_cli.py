@@ -1,0 +1,80 @@
+"""CLI-surface tests: argparse wiring of train/generate/eval and a full
+generate.py run from a *torch reference* checkpoint (conversion path)."""
+
+import json
+import os
+import runpy
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONFIG = os.path.join(REPO, "vdiff_tpu", "configs", "synthetic_smoke.json")
+
+
+def _run_cli(script, argv):
+    old = sys.argv
+    sys.argv = [script] + argv
+    try:
+        runpy.run_path(os.path.join(REPO, script), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+@pytest.mark.parametrize("script", ["train.py", "generate.py", "eval.py"])
+def test_cli_help(script):
+    with pytest.raises(SystemExit) as e:
+        _run_cli(script, ["--help"])
+    assert e.value.code == 0
+
+
+def test_train_cli_rejects_unknown_flag():
+    with pytest.raises(SystemExit):
+        _run_cli("train.py", ["--config-path", CONFIG, "--definitely-not-a-flag"])
+
+
+def test_generate_from_torch_reference_checkpoint(tmp_path):
+    """Users of the reference can point generate.py at their torch .pt
+    checkpoints directly (models/convert.py migration path)."""
+    from tests.ref_loader import load
+
+    ref_unet = load("models.unet")
+    with open(CONFIG) as f:
+        cfg = json.load(f)
+
+    torch.manual_seed(0)
+    tm = ref_unet.UNet(
+        in_channels=3, out_channels=3, num_classes=0,
+        **{k: v for k, v in cfg["model"].items()},
+    )
+    ckpt_path = str(tmp_path / "ckpt_ref.pt")
+    torch.save({"model": tm.state_dict()}, ckpt_path)
+
+    save_dir = str(tmp_path / "out")
+    _run_cli(
+        "generate.py",
+        [
+            "--config-path", CONFIG,
+            "--ckpt-path", ckpt_path,
+            "--save-dir", save_dir,
+            "--total-size", "4",
+            "--batch-size", "4",
+            "--sample-timesteps", "2",
+            "--use-ddim",
+        ],
+    )
+    pngs = []
+    for root, _, files in os.walk(save_dir):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert len(pngs) == 4
+
+    from PIL import Image
+
+    img_dir = None
+    for root, _, files in os.walk(save_dir):
+        if any(f.endswith(".png") for f in files):
+            img_dir = root
+    im = np.asarray(Image.open(os.path.join(img_dir, pngs[0])))
+    assert im.shape == (32, 32, 3) and im.dtype == np.uint8
