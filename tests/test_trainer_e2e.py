@@ -76,6 +76,16 @@ def test_trainer_end_to_end(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sharded_sample_fn_over_mesh(tmp_path):
+    """num_save_images divisible by the 8-device mesh → shard_map path."""
+    trainer = _tiny_trainer(tmp_path)
+    out = trainer.sample_fn(batch_size=16, use_ddim=True)
+    assert out.shape == (16, 8, 8, 3)
+    assert np.all(np.isfinite(out))
+    # per-shard rng folding must give distinct shards
+    assert not np.allclose(out[:2], out[2:4])
+
+
 def test_trainer_sample_labels_balanced(tmp_path):
     trainer = _tiny_trainer(tmp_path)
     labels = np.asarray(trainer.sample_labels())

@@ -418,26 +418,56 @@ class Trainer:
         return self.state.ema_params if (self.use_ema and self.state.ema_params is not None) else self.state.params
 
     def sample_fn(self, label=None, batch_size=None, use_ddim=False, diffusion=None, seed_key=None):
-        """Sample a batch under EMA weights; jitted & cached per shape config
-        (reference Trainer.sample_fn, train_utils.py:171-185)."""
+        """Sample a batch under EMA weights; jitted & cached per shape config.
+
+        The batch is sharded over the data axis with ``shard_map`` — the
+        compiled analogue of the reference's per-rank sampling + all_gather
+        (train_utils.py:171-185); per-shard noise derives from
+        fold_in(rng, axis_index). Falls back to single-device when the batch
+        doesn't divide the mesh.
+        """
         diffusion = diffusion or self.diffusion
         B = batch_size or self.num_save_images
         H, W, C = self.shape
         has_label = label is not None
-        cache_key = (B, use_ddim, has_label, id(diffusion))
+        n_dev = self.mesh.devices.size
+        shard = n_dev > 1 and B % n_dev == 0
+        cache_key = (B, use_ddim, has_label, shard, id(diffusion))
         if cache_key not in self._sample_jit:
 
-            def _sample(params, rng, y):
-                def denoise_fn(x_t, t_, y_):
-                    return self.model.apply({"params": params}, x_t, t_, y_, train=False)
+            def denoise(params, x_t, t_, y_):
+                return self.model.apply({"params": params}, x_t, t_, y_, train=False)
 
-                return diffusion.p_sample(
-                    denoise_fn, (B, H, W, C), rng, label=y, use_ddim=use_ddim
+            if shard:
+                from jax.sharding import PartitionSpec as P
+
+                y_spec = P("data") if has_label else P()
+
+                def shard_fn(params, rng, y):
+                    idx = jax.lax.axis_index("data")
+                    r = jax.random.fold_in(rng, idx)
+                    return diffusion.p_sample(
+                        partial(denoise, params), (B // n_dev, H, W, C), r,
+                        label=y if has_label else None, use_ddim=use_ddim,
+                    )
+
+                fn = jax.shard_map(
+                    shard_fn, mesh=self.mesh,
+                    in_specs=(P(), P(), y_spec), out_specs=P("data"),
                 )
+                self._sample_jit[cache_key] = jax.jit(fn)
+            else:
 
-            self._sample_jit[cache_key] = jax.jit(_sample)
+                def _sample(params, rng, y):
+                    return diffusion.p_sample(
+                        partial(denoise, params), (B, H, W, C), rng,
+                        label=y if has_label else None, use_ddim=use_ddim,
+                    )
+
+                self._sample_jit[cache_key] = jax.jit(_sample)
         rng = seed_key if seed_key is not None else self.sample_key
-        out = self._sample_jit[cache_key](self._sampling_params(), rng, label)
+        y_arg = label if has_label else jnp.zeros((B,), jnp.float32)
+        out = self._sample_jit[cache_key](self._sampling_params(), rng, y_arg)
         return jax.device_get(out)
 
     def sample_labels(self):
