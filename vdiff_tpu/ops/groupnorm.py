@@ -37,15 +37,17 @@ def gn_film_silu_reference(
 ) -> jax.Array:
     """XLA path. x: (B, H, W, C); gamma/beta: (C,); film_*: (B, C) or None."""
     B, H, W, C = x.shape
+    # statistics in f32; epilogue (affine/FiLM/SiLU) in the compute dtype so
+    # bf16 models keep bf16 bandwidth on the elementwise chain
     xg = x.reshape(B, H * W, num_groups, C // num_groups).astype(jnp.float32)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = jnp.square(xg - mean).mean(axis=(1, 3), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, H, W, C)
-    y = xn * gamma + beta
+    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, H, W, C).astype(x.dtype)
+    y = xn * gamma.astype(x.dtype) + beta.astype(x.dtype)
     if film_scale is not None:
-        y = y * (1.0 + film_scale[:, None, None, :])
+        y = y * (1.0 + film_scale[:, None, None, :].astype(x.dtype))
     if film_shift is not None:
-        y = y + film_shift[:, None, None, :]
+        y = y + film_shift[:, None, None, :].astype(x.dtype)
     if apply_silu:
         y = jax.nn.silu(y)
     return y.astype(x.dtype)
