@@ -94,7 +94,9 @@ class AttentionBlock(nn.Module):
         qkv = Conv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         tok = lambda a: a.reshape(B, H * W, num_heads, head_dim)
-        out = spatial_attention(tok(q), tok(k), tok(v), use_flash=self.use_flash)
+        # Pallas flash kernel has no VJP: inference-only; training uses the
+        # fused XLA path (differentiable)
+        out = spatial_attention(tok(q), tok(k), tok(v), use_flash=self.use_flash and not train)
         out = out.reshape(B, H, W, hid_dim)
         out = Conv(in_dim, (1, 1), init_scale=0.0, name="proj_out", dtype=self.dtype)(out)
         return out + skip

@@ -513,7 +513,8 @@ class Trainer:
                 total=len(self.trainloader),
             ) as it:
                 for x, y in it:
-                    self.step(x, y if self.use_cfg or self.multitags else None)
+                    # y dropped when CFG is off (reference train_utils.py:251-252)
+                    self.step(x, y if self.use_cfg else None)
                     it.set_postfix(self.current_stats)
 
                 if self.is_leader and evaluator is not None and not (e + 1) % self.eval_intv:
