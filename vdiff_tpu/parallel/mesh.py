@@ -41,12 +41,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, *arrays):
-    """Device_put host arrays with batch sharding (per-host slices feed their
-    local devices; across processes this composes with the loader's shard)."""
-    out = tuple(
-        jax.device_put(a, batch_sharding(mesh, np.ndim(a))) if a is not None else None
-        for a in arrays
-    )
+    """Assemble host arrays into batch-sharded global arrays.
+
+    Single-process: a plain device_put with the batch sharding. Multi-process:
+    each host holds only its loader shard (data.py shards the permutation per
+    process), so the global array is assembled from process-local data —
+    the jax analogue of DistributedSampler feeding per-rank DataLoaders.
+    """
+
+    def _put(a):
+        if a is None:
+            return None
+        sharding = batch_sharding(mesh, np.ndim(a))
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        return jax.device_put(a, sharding)
+
+    out = tuple(_put(a) for a in arrays)
     return out if len(out) > 1 else out[0]
 
 
