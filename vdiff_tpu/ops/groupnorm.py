@@ -37,17 +37,40 @@ def gn_film_silu_reference(
 ) -> jax.Array:
     """XLA path. x: (B, H, W, C); gamma/beta: (C,); film_*: (B, C) or None."""
     B, H, W, C = x.shape
-    # statistics in f32; epilogue (affine/FiLM/SiLU) in the compute dtype so
-    # bf16 models keep bf16 bandwidth on the elementwise chain
-    xg = x.reshape(B, H * W, num_groups, C // num_groups).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = jnp.square(xg - mean).mean(axis=(1, 3), keepdims=True)
-    xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, H, W, C).astype(x.dtype)
-    y = xn * gamma.astype(x.dtype) + beta.astype(x.dtype)
+    cg = C // num_groups
+    # Single-pass statistics (sum and sum-of-squares fused into one read of x,
+    # f32 accumulation) + the whole normalize/affine/FiLM folded into ONE
+    # per-channel fused multiply-add y = x·A + B in the compute dtype. This
+    # minimizes HBM traffic: profiling showed the naive two-pass f32 GN
+    # (convert_reduce fusions) eating ~45% of the UNet's step time on v5e.
+    # reduce over spatial dims per channel first (lane-parallel on the VPU —
+    # cross-lane group subfolds are slow), then fold channels→groups on the
+    # tiny (B, C) partials
+    x32 = x.astype(jnp.float32)
+    s1c = jnp.sum(x32, axis=(1, 2))  # (B, C)
+    s2c = jnp.sum(x32 * x32, axis=(1, 2))
+    s1 = jnp.sum(s1c.reshape(B, num_groups, cg), axis=2)  # (B, G)
+    s2 = jnp.sum(s2c.reshape(B, num_groups, cg), axis=2)
+    n = H * W * cg
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+
+    # expand per-group stats to per-channel coefficients (tiny tensors)
+    mean_c = jnp.repeat(mean, cg, axis=1)  # (B, C)
+    inv_c = jnp.repeat(inv, cg, axis=1)
+    a = gamma[None, :] * inv_c
+    b = beta[None, :] - mean_c * a
     if film_scale is not None:
-        y = y * (1.0 + film_scale[:, None, None, :].astype(x.dtype))
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        a = a * fs
+        b = b * fs
     if film_shift is not None:
-        y = y + film_shift[:, None, None, :].astype(x.dtype)
+        b = b + film_shift.astype(jnp.float32)
+
+    a = a.astype(x.dtype)[:, None, None, :]
+    b = b.astype(x.dtype)[:, None, None, :]
+    y = x * a + b
     if apply_silu:
         y = jax.nn.silu(y)
     return y.astype(x.dtype)
