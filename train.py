@@ -158,6 +158,15 @@ def main(args):
     jax.config.update("jax_default_matmul_precision", matmul_precision)
     logger(f"bf16 compute: {'ON' if allow_bf16 else 'OFF'}; matmul precision: {matmul_precision}")
 
+    # counter-based rbg PRNG: threefry dropout-mask generation costs ~18% of
+    # the train step on v5e (902 → 1068 img/s with rbg); statistically fine
+    # for dropout/noise streams
+    try:
+        jax.config.update("jax_default_prng_impl", args.prng_impl)
+        logger(f"PRNG impl: {args.prng_impl}")
+    except Exception as e:
+        logger(f"PRNG impl unchanged: {e}")
+
     model_cfg = {k: v for k, v in config["model"].items() if k != "use_xformers"}
     model = UNet(
         num_classes=num_classes,
@@ -282,6 +291,8 @@ if __name__ == "__main__":
     parser.add_argument("--allow-fp16", action="store_true", help="(parity) see --allow-bf16")
     parser.add_argument("--allow-bf16", action="store_true", help="bfloat16 compute in the UNet")
     parser.add_argument("--use-xformers", action="store_true", help="use the fused/Pallas attention path")
+    parser.add_argument("--prng-impl", type=str, default="rbg", choices=["rbg", "threefry2x32"],
+                        help="PRNG implementation (rbg is ~18%% faster per train step on TPU)")
     parser.add_argument("--max-ckpts-kept", type=int, help="maximum number of checkpoints to keep on disk (none for no cap)")
     parser.add_argument("--use-cfg", action="store_true", help="whether to use classifier-free guidance")
     parser.add_argument("--use-ema", action="store_true", help="whether to use exponential moving average")
