@@ -163,6 +163,122 @@ def gn_film_silu_pallas(
     return out.reshape(B, H, W, C)
 
 
+# ---------------------------------------------------------------------------
+# hand-written VJP for the full GN(+FiLM)(+SiLU) chain
+# ---------------------------------------------------------------------------
+#
+# Autodiff of the forward produces several extra f32 temporaries and reduction
+# passes (profiled as multiply_reduce fusions ≈ 22% of the training step on
+# v5e). The manual backward needs exactly two per-(b,c) spatial reductions
+# (Σdz and Σdz·x̂) from which every gradient follows:
+#   dx   = inv·(w·dz − m1_g − x̂·m2_g),  m1 = mean_G(w·dz), m2 = mean_G(w·dz·x̂)
+#   dγ_c = Σ_b f·R2,  dβ_c = Σ_b f·R1,
+#   dscale = γ·R2 + β·R1,  dshift = R1         (R1 = Σ_HW dz, R2 = Σ_HW dz·x̂)
+
+
+def _gn_stats(x, num_groups, eps):
+    B, H, W, C = x.shape
+    cg = C // num_groups
+    x32 = x.astype(jnp.float32)
+    s1c = jnp.sum(x32, axis=(1, 2))
+    s2c = jnp.sum(x32 * x32, axis=(1, 2))
+    s1 = jnp.sum(s1c.reshape(B, num_groups, cg), axis=2)
+    s2 = jnp.sum(s2c.reshape(B, num_groups, cg), axis=2)
+    n = H * W * cg
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    return mean, inv  # (B, G)
+
+
+def _gn_fwd_from_stats(x, gamma, beta, film_shift, film_scale, mean, inv,
+                       num_groups, apply_silu):
+    B, H, W, C = x.shape
+    cg = C // num_groups
+    mean_c = jnp.repeat(mean, cg, axis=1)
+    inv_c = jnp.repeat(inv, cg, axis=1)
+    a = gamma[None, :] * inv_c
+    b = beta[None, :] - mean_c * a
+    if film_scale is not None:
+        fs = 1.0 + film_scale.astype(jnp.float32)
+        a = a * fs
+        b = b * fs
+    if film_shift is not None:
+        b = b + film_shift.astype(jnp.float32)
+    z = x * a.astype(x.dtype)[:, None, None, :] + b.astype(x.dtype)[:, None, None, :]
+    return jax.nn.silu(z) if apply_silu else z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _gn_film_silu_core(x, gamma, beta, film_shift, film_scale,
+                       num_groups, eps, apply_silu):
+    mean, inv = _gn_stats(x, num_groups, eps)
+    return _gn_fwd_from_stats(
+        x, gamma, beta, film_shift, film_scale, mean, inv, num_groups, apply_silu
+    )
+
+
+def _gn_core_fwd(x, gamma, beta, film_shift, film_scale, num_groups, eps, apply_silu):
+    mean, inv = _gn_stats(x, num_groups, eps)
+    y = _gn_fwd_from_stats(
+        x, gamma, beta, film_shift, film_scale, mean, inv, num_groups, apply_silu
+    )
+    return y, (x, gamma, beta, film_shift, film_scale, mean, inv)
+
+
+def _gn_core_bwd(num_groups, eps, apply_silu, res, g):
+    x, gamma, beta, film_shift, film_scale, mean, inv = res
+    B, H, W, C = x.shape
+    cg = C // num_groups
+    n = H * W * cg
+    has_film = film_scale is not None
+
+    mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]  # (B,1,1,C) f32
+    inv_c = jnp.repeat(inv, cg, axis=1)[:, None, None, :]
+    f = (1.0 + film_scale.astype(jnp.float32))[:, None, None, :] if has_film else 1.0
+    w = gamma[None, None, None, :] * f  # (B,1,1,C) or (1,1,1,C)
+
+    x32 = x.astype(jnp.float32)
+    xhat = (x32 - mean_c) * inv_c
+
+    g32 = g.astype(jnp.float32)
+    if apply_silu:
+        # recompute z from xhat (cheap FMA) for silu'
+        s_off = beta[None, None, None, :] * f
+        if film_shift is not None:
+            s_off = s_off + film_shift.astype(jnp.float32)[:, None, None, :]
+        z = w * xhat + s_off
+        sig = jax.nn.sigmoid(z)
+        dz = g32 * sig * (1.0 + z * (1.0 - sig))
+    else:
+        dz = g32
+
+    # two per-(b,c) spatial reductions drive everything
+    R1 = jnp.sum(dz, axis=(1, 2))          # (B, C)
+    R2 = jnp.sum(dz * xhat, axis=(1, 2))   # (B, C)
+
+    w_bc = jnp.broadcast_to(w[:, 0, 0, :] if has_film else w[0, 0, 0, :][None], (B, C))
+    m1 = jnp.sum((w_bc * R1).reshape(B, num_groups, cg), axis=2) / n  # (B, G)
+    m2 = jnp.sum((w_bc * R2).reshape(B, num_groups, cg), axis=2) / n
+    m1_c = jnp.repeat(m1, cg, axis=1)[:, None, None, :]
+    m2_c = jnp.repeat(m2, cg, axis=1)[:, None, None, :]
+
+    dx = (inv_c * (w * dz - m1_c - xhat * m2_c)).astype(x.dtype)
+
+    f_bc = (1.0 + film_scale.astype(jnp.float32)) if has_film else jnp.ones((1, C), jnp.float32)
+    dgamma = jnp.sum(f_bc * R2, axis=0).astype(gamma.dtype)
+    dbeta = jnp.sum(f_bc * R1, axis=0).astype(beta.dtype)
+    if has_film:
+        dscale = (gamma[None, :] * R2 + beta[None, :] * R1).astype(film_scale.dtype)
+    else:
+        dscale = None
+    dshift = R1.astype(film_shift.dtype) if film_shift is not None else None
+    return dx, dgamma, dbeta, dshift, dscale
+
+
+_gn_film_silu_core.defvjp(_gn_core_fwd, _gn_core_bwd)
+
+
 def gn_film_silu(
     x, gamma, beta, film_shift=None, film_scale=None, *,
     num_groups: int = 32, eps: float = 1e-6, apply_silu: bool = True,
@@ -186,8 +302,12 @@ def gn_film_silu(
             and C % 128 == 0
             and (H * W) % 8 == 0
         ), "pallas GN requires TPU and tile-aligned shapes"
-    fn = gn_film_silu_pallas if use_pallas else gn_film_silu_reference
-    return fn(
-        x, gamma, beta, film_shift, film_scale,
-        num_groups=num_groups, eps=eps, apply_silu=apply_silu,
+    if use_pallas:
+        return gn_film_silu_pallas(
+            x, gamma, beta, film_shift, film_scale,
+            num_groups=num_groups, eps=eps, apply_silu=apply_silu,
+        )
+    # XLA path with the hand-written VJP (minimal-reduction backward)
+    return _gn_film_silu_core(
+        x, gamma, beta, film_shift, film_scale, num_groups, eps, apply_silu
     )
