@@ -360,14 +360,29 @@ def get_dataloader(
         batch_size = batch_size // process_count
 
     assert isinstance(val_size, float) and 0 <= val_size < 1
-    if dataset != "celeba" and split in {"train", "valid"} and val_size > 0:
-        base = _build_dataset(dataset, root, "train")
-        train_inds, val_inds = train_val_split(dataset, val_size, random_seed)
-        ds = SubsetDataset(base, {"train": train_inds, "valid": val_inds}[split])
-    else:
+
+    def build():
+        if dataset != "celeba" and split in {"train", "valid"} and val_size > 0:
+            base = _build_dataset(dataset, root, "train")
+            train_inds, val_inds = train_val_split(dataset, val_size, random_seed)
+            return SubsetDataset(base, {"train": train_inds, "valid": val_inds}[split])
         if val_size == 0 and split == "valid":
             raise ValueError("valid split requires val_size > 0")
-        ds = _build_dataset(dataset, root, split)
+        return _build_dataset(dataset, root, split)
+
+    # leader-prepares-first gate (reference datasets.py:222-231): with no
+    # network egress, "prepare" here can only mean another process already
+    # materialized files; non-leaders wait at the barrier then retry once.
+    try:
+        ds = build()
+    except FileNotFoundError:
+        if distributed:
+            from .parallel import sync_global_devices
+
+            sync_global_devices("dataset_download")
+            ds = build()
+        else:
+            raise
     loader = DataLoader(
         ds,
         batch_size=batch_size,

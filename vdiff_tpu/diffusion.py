@@ -179,6 +179,13 @@ class GaussianDiffusion:
         )
         return coefs.mean_coef1 * x_t + coefs.mean_coef2 * x_0, coefs.logvar
 
+    def q_posterior_mean_var_ddim(self, x_0, x_t, logsnr_s, logsnr_t):
+        """Deterministic (η=0) DDIM posterior (reference diffusion.py:310-315)."""
+        coefs = N.logsnr_to_posterior_ddim(
+            logsnr_s, logsnr_t, eta=0.0, x0eps_coef=self.x0eps_coef
+        )
+        return coefs.mean_coef1 * x_t + coefs.mean_coef2 * x_0, coefs.logvar
+
     def p_mean_var(self, model_out, x_t, logsnr_s, logsnr_t, clip_denoised, use_ddim=False):
         """Device-path posterior from a model output (diffusion.py:317-356)."""
         intp_frac = None
