@@ -375,6 +375,8 @@ class Trainer:
 
         self.stats = RunningStatistics(loss=None)
         self.ckpt_manager: Optional[CheckpointManager] = None
+        self._host_step = 0  # mirrors state.step without device syncs
+        self._pending_losses = []
 
     # ------------------------------------------------------------------
 
@@ -402,13 +404,24 @@ class Trainer:
         return x, y
 
     def step(self, x, y, epoch_stats=True):
+        """One macro-batch. The step index for RNG folding is tracked host-side
+        (a device_get of state.step would force a host-device sync per batch —
+        ~33 ms RPC on tunneled TPUs — serializing the pipeline); the loss is
+        recorded as a device scalar and only synced when stats are read."""
         B = x.shape[0]
-        rng = jax.random.fold_in(self.train_key, int(jax.device_get(self.state.step)))
+        rng = jax.random.fold_in(self.train_key, self._host_step)
+        self._host_step += 1
         x, y = self._put_batch(x, y)
         self.state, loss = self._train_step(self.state, x, y, rng)
         if epoch_stats:
-            self.stats.update(B, loss=float(jax.device_get(loss)) * B)
+            self._pending_losses.append((B, loss))
         return loss
+
+    def _flush_stats(self):
+        if self._pending_losses:
+            pending, self._pending_losses = self._pending_losses, []
+            for B, loss in pending:
+                self.stats.update(B, loss=float(jax.device_get(loss)) * B)
 
     # ------------------------------------------------------------------
     # sampling
@@ -512,10 +525,12 @@ class Trainer:
                 disable=not self.is_leader,
                 total=len(self.trainloader),
             ) as it:
-                for x, y in it:
+                for i, (x, y) in enumerate(it):
                     # y dropped when CFG is off (reference train_utils.py:251-252)
                     self.step(x, y if self.use_cfg else None)
-                    it.set_postfix(self.current_stats)
+                    if i % 16 == 15 or i + 1 == len(self.trainloader):
+                        # throttled: reading stats syncs pending device losses
+                        it.set_postfix(self.current_stats)
 
                 if self.is_leader and evaluator is not None and not (e + 1) % self.eval_intv:
                     eval_results = evaluator.eval(
@@ -542,6 +557,7 @@ class Trainer:
 
     @property
     def current_stats(self):
+        self._flush_stats()
         return {k: round(v, 6) for k, v in self.stats.extract().items()}
 
     # ------------------------------------------------------------------
@@ -561,6 +577,9 @@ class Trainer:
         new_state, epoch = self.ckpt_manager.restore(host_state, ckpt_path)
         self.state = replicate_tree(self.mesh, new_state)
         self.start_epoch = epoch
+        # restore the host-side step mirror so RNG folding stays deterministic
+        # across resume (determinism derives from (seed, step))
+        self._host_step = int(np.asarray(new_state.step))
 
 
 class Evaluator:
