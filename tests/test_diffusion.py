@@ -260,13 +260,40 @@ def test_p_sample_scan_equals_python_loop():
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(x), rtol=0.1, atol=0.05)
 
 
-def test_p_sample_progressive_shapes():
+def test_p_sample_progressive_matches_explicit_loop():
+    """Snapshot selection must match the reference rule (ti+1) % pred_freq == 0
+    (diffusion.py:438-440), verified against an explicit python loop."""
     tm, jm, params = _models(out_channels=3)
     _, jax_fn = _fns(3, 0)
     gd, _ = _gd_pair(out_type="eps", var_type="fixed_large")
-    x0, preds = gd.p_sample_progressive(jax_fn, (2, RES, RES, 3), jax.random.key(0), pred_freq=4)
+    rng = jax.random.key(0)
+    pred_freq = 4
+    x0, preds = gd.p_sample_progressive(jax_fn, (2, RES, RES, 3), rng, pred_freq=pred_freq)
     assert x0.shape == (2, RES, RES, 3)
-    assert preds.shape == (T // 4, 2, RES, RES, 3)
+    assert preds.shape == (T // pred_freq, 2, RES, RES, 3)
+
+    # explicit loop replicating the scan's rng stream
+    init_rng, step_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (2, RES, RES, 3), jnp.float32)
+    tables = gd.sample_tables(use_ddim=False)
+    expected = []
+    for i in range(T):
+        ti = T - 1 - i
+        row = {k: v[i] for k, v in tables.items()}
+        eps = jax.random.normal(jax.random.fold_in(step_rng, i), x.shape, x.dtype)
+        x, pred = gd._p_sample_step(jax_fn, x, row, None, eps)
+        if (ti + 1) % pred_freq == 0:
+            expected.append(np.asarray(pred))
+    assert len(expected) == T // pred_freq
+    # reference layout: preds[0] = most-denoised snapshot (smallest ti);
+    # `expected` was appended in decreasing-ti order → compare reversed
+    expected = expected[::-1]
+    for k in range(len(expected)):
+        np.testing.assert_allclose(
+            np.asarray(preds[k]), expected[k], rtol=2e-2, atol=2e-2,
+            err_msg=f"snapshot {k}",
+        )
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x), rtol=5e-2, atol=5e-2)
 
 
 def test_learned_variance_sampling_and_kl_loss():

@@ -386,12 +386,16 @@ class GaussianDiffusion:
         def chunk(x, inp):
             ids, rows = inp
             x, preds = jax.lax.scan(step, x, (ids, rows))
-            return x, preds[-1]
+            # snapshot condition (ti+1) % pred_freq == 0 ⇔ row index ≡ T (mod
+            # pred_freq) ⇔ the FIRST row of each chunk (rows run ti = T-1 → 0)
+            return x, jax.tree.map(lambda p: p[0], preds)
 
         body_idx = idx[head:].reshape(L, pred_freq)
         body_tab = jax.tree.map(lambda a: a[head:].reshape(L, pred_freq, *a.shape[1:]), tables)
         x_0, snapshots = jax.lax.scan(chunk, x, (body_idx, body_tab))
-        return x_0, snapshots
+        # reference layout (diffusion.py:431-440): preds[0] = most-denoised
+        # snapshot (smallest ti); our scan emits decreasing-ti order → flip
+        return x_0, snapshots[::-1]
 
     # ------------------------------------------------------------------
     # log-likelihood (bits per dimension; diffusion.py:446-576)
