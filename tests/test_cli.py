@@ -35,6 +35,50 @@ def test_train_cli_rejects_unknown_flag():
         _run_cli("train.py", ["--config-path", CONFIG, "--definitely-not-a-flag"])
 
 
+def test_generate_from_orbax_checkpoint(tmp_path):
+    """generate.py consumes this framework's own Orbax checkpoints (with EMA)."""
+    import jax
+    import numpy as np
+    from vdiff_tpu.models.unet import UNet
+    from vdiff_tpu.train_lib import CheckpointManager, TrainState, make_optimizer
+
+    with open(CONFIG) as f:
+        cfg = json.load(f)
+    model = UNet(in_channels=3, out_channels=3, num_classes=0, use_flash=False, **cfg["model"])
+    rng = jax.random.key(0)
+    import jax.numpy as jnp
+
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)), None
+    )["params"]
+    opt = make_optimizer(lr=1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), max_ckpts_kept=-1)
+    ckpt_path = mgr.save(jax.device_get(state), epoch=1, epochs=10)
+
+    save_dir = str(tmp_path / "out")
+    _run_cli(
+        "generate.py",
+        [
+            "--config-path", CONFIG,
+            "--ckpt-path", ckpt_path,
+            "--save-dir", save_dir,
+            "--total-size", "2",
+            "--batch-size", "2",
+            "--sample-timesteps", "2",
+            "--use-ema",
+            "--use-ddim",
+        ],
+    )
+    pngs = []
+    for root, _, files in os.walk(save_dir):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert len(pngs) == 2
+
+
 def test_generate_from_torch_reference_checkpoint(tmp_path):
     """Users of the reference can point generate.py at their torch .pt
     checkpoints directly (models/convert.py migration path)."""
