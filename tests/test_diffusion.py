@@ -296,6 +296,30 @@ def test_p_sample_progressive_matches_explicit_loop():
     np.testing.assert_allclose(np.asarray(x0), np.asarray(x), rtol=5e-2, atol=5e-2)
 
 
+def test_p_sample_progressive_with_head_remainder():
+    """T=8, pred_freq=3 → 2 leading steps precede the first snapshot chunk."""
+    tm, jm, params = _models(out_channels=3)
+    _, jax_fn = _fns(3, 0)
+    gd, _ = _gd_pair(out_type="eps", var_type="fixed_large")
+    rng = jax.random.key(5)
+    x0, preds = gd.p_sample_progressive(jax_fn, (2, RES, RES, 3), rng, pred_freq=3)
+    assert preds.shape == (2, 2, RES, RES, 3)
+
+    init_rng, step_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, (2, RES, RES, 3), jnp.float32)
+    tables = gd.sample_tables(use_ddim=False)
+    expected = []
+    for i in range(T):
+        ti = T - 1 - i
+        row = {k: v[i] for k, v in tables.items()}
+        eps = jax.random.normal(jax.random.fold_in(step_rng, i), x.shape, x.dtype)
+        x, pred = gd._p_sample_step(jax_fn, x, row, None, eps)
+        if (ti + 1) % 3 == 0:
+            expected.append(np.asarray(pred))
+    for k, e in enumerate(expected[::-1]):
+        np.testing.assert_allclose(np.asarray(preds[k]), e, rtol=2e-2, atol=2e-2)
+
+
 def test_learned_variance_sampling_and_kl_loss():
     """model_var_type='learned': channel-split intp_frac drives a log-space
     variance lerp (reference diffusion.py:320-324, 349-351)."""
