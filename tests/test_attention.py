@@ -40,6 +40,23 @@ def test_flash_attention_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_flash_qkv_interpret_matches_xla():
+    """Fused-qkv kernel (BlockSpec views, no splits) ≡ split + flash."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops.attention import flash_attention_qkv
+
+    B, T, N, C = 2, 256, 2, 128
+    rng = np.random.RandomState(7)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_qkv(qkv, N, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_flash_attention_head_folding():
     """Multi-head folding must keep heads independent and channel order n*C+c."""
     from jax.experimental.pallas import tpu as pltpu

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.numerics import get_timestep_embedding
-from ..ops.attention import spatial_attention
+from ..ops.attention import spatial_attention_qkv
 from ..ops.groupnorm import gn_film_silu
 from .layers import (
     Conv,
@@ -92,11 +92,13 @@ class AttentionBlock(nn.Module):
         B, H, W, _ = x.shape
         h = FusableGroupNorm(name="norm")(x, apply_silu=False, fuse=not train)
         qkv = Conv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        tok = lambda a: a.reshape(B, H * W, num_heads, head_dim)
-        # Pallas flash kernel has no VJP: inference-only; training uses the
-        # fused XLA path (differentiable)
-        out = spatial_attention(tok(q), tok(k), tok(v), use_flash=self.use_flash and not train)
+        # fused-qkv attention: the Pallas kernel reads q/k/v as views of the
+        # projection output (no split/transpose copies). Flash is
+        # inference-only (no VJP); training takes the fused XLA path.
+        out = spatial_attention_qkv(
+            qkv.reshape(B, H * W, 3 * hid_dim), num_heads,
+            use_flash=self.use_flash and not train,
+        )
         out = out.reshape(B, H, W, hid_dim)
         out = Conv(in_dim, (1, 1), init_scale=0.0, name="proj_out", dtype=self.dtype)(out)
         return out + skip

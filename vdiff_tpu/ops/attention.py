@@ -97,6 +97,40 @@ def flash_attention(
     return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
 
 
+def flash_attention_qkv(
+    qkv: jax.Array, num_heads: int, block_q: int = 256, block_k: int = 256
+) -> jax.Array:
+    """Flash attention on the fused projection output.
+
+    qkv: (B, T, 3·N·C) laid out [q_heads | k_heads | v_heads] (the reference's
+    single 1x1-conv layout, unet.py:70-78). q/k/v arrive in the kernel as three
+    lane-offset BlockSpec views of the SAME array — blocks of C columns at
+    offsets n·C / (N+n)·C / (2N+n)·C — so there are no split or head-transpose
+    copies (profiling showed those copies costing ~3% of the sampling step).
+    Requires C % 128 == 0 (lane-aligned offsets). Returns (B, T, N·C).
+    """
+    B, T, threeNC = qkv.shape
+    N = num_heads
+    C = threeNC // (3 * N)
+    block_q = min(block_q, T)
+    block_k = min(block_k, T)
+    scale = 1.0 / math.sqrt(C)
+
+    grid = (B, N, T // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, C), lambda b, n, i: (b, i, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, n, i: (b, 0, N + n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda b, n, i: (b, 0, 2 * N + n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, C), lambda b, n, i: (b, i, n), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, N * C), qkv.dtype),
+    )(qkv, qkv, qkv)
+    return out
+
+
 def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool = True):
     """Dispatch: Pallas flash kernel when tile-aligned on TPU, else fused XLA."""
     B, T, N, C = q.shape
@@ -104,3 +138,15 @@ def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool 
     if use_flash and on_tpu and T % 128 == 0 and C % 128 == 0:
         return flash_attention(q, k, v)
     return _xla_attention(q, k, v)
+
+
+def spatial_attention_qkv(qkv: jax.Array, num_heads: int, use_flash: bool = True):
+    """Fused-qkv entry: (B, T, 3·N·C) → (B, T, N·C)."""
+    B, T, threeNC = qkv.shape
+    C = threeNC // (3 * num_heads)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_flash and on_tpu and T % 128 == 0 and C % 128 == 0:
+        return flash_attention_qkv(qkv, num_heads)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, num_heads, C)
+    return _xla_attention(tok(q), tok(k), tok(v))
