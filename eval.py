@@ -14,7 +14,7 @@ if __name__ == "__main__":
     from PIL import Image
     from tqdm import tqdm
 
-    from vdiff_tpu import DATA_INFO, seed_all
+    from vdiff_tpu import seed_all
     from vdiff_tpu.metrics import InceptionStatistics, calc_fd, get_precomputed
     from vdiff_tpu.metrics.precision_recall import ManifoldBuilder, calc_pr
 

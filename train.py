@@ -13,7 +13,6 @@ Mapping of GPU-specific flags (reference train.py:226-260):
 """
 
 import json
-import math
 import os
 from datetime import datetime
 from functools import partial
