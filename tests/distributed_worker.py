@@ -1,0 +1,144 @@
+"""Worker process for the 2-process CPU-cluster test (test_distributed.py).
+
+Exercises the code paths that only exist when ``jax.process_count() > 1`` —
+the TPU-pod analogue of the reference's torchrun bring-up
+(reference train.py:129-156):
+
+* ``jax.distributed.initialize`` against a local coordinator
+* ``shard_batch`` → ``make_array_from_process_local_data`` global assembly
+* ``sync_global_devices`` named barriers
+* the dataloader's unconditional download barrier (incl. the all-processes-
+  missing case, which must raise cleanly rather than deadlock)
+* a global-mesh jitted train step + the collective ``sample_fn`` (all_gather
+  to a replicated result readable on every process)
+* leader-gated checkpoint save, restored by the non-leader
+
+Prints ``WORKER_OK <pid>`` on success; any assertion/exception fails the
+parent test via the exit code.
+"""
+
+import os
+import sys
+
+
+def main():
+    coordinator, num_procs, pid, tmpdir = sys.argv[1:5]
+    num_procs, pid = int(num_procs), int(pid)
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=pid
+    )
+    assert jax.process_count() == num_procs, jax.process_count()
+    assert len(jax.devices()) == 4 * num_procs
+    assert len(jax.local_devices()) == 4
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from vdiff_tpu.parallel import create_mesh, shard_batch, sync_global_devices
+
+    mesh = create_mesh()
+    assert mesh.devices.size == 4 * num_procs
+
+    # --- global-array assembly from process-local shards -------------------
+    local = np.full((8, 3), float(pid), np.float32)  # half the global batch
+    garr = shard_batch(mesh, local)
+    assert garr.shape == (16, 3)
+    total = jax.jit(lambda a: jnp.sum(a))(garr)
+    # processes 0 and 1 contribute 8*3*pid each → 24
+    np.testing.assert_allclose(float(total), 24.0)
+
+    sync_global_devices("phase_1")
+
+    # --- dataloader: distributed barrier + per-process sharding ------------
+    from vdiff_tpu.data import get_dataloader
+
+    loader, _ = get_dataloader(
+        "synthetic", batch_size=16, split="train", val_size=0.0, random_seed=0,
+        root=tmpdir, drop_last=True, distributed=True, is_leader=pid == 0,
+    )
+    xb, yb = next(iter(loader))
+    assert xb.shape[0] == 8, xb.shape  # world-divided batch
+
+    # all-processes-missing dataset: every process must pass the download
+    # barrier and fail CLEANLY (pre-fix: only failing processes entered the
+    # named barrier → heterogeneous state deadlocked)
+    try:
+        get_dataloader(
+            "cifar10", batch_size=16, split="train", val_size=0.0, random_seed=0,
+            root=os.path.join(tmpdir, "definitely_missing"), drop_last=True,
+            distributed=True, is_leader=pid == 0,
+        )
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
+
+    sync_global_devices("phase_2")
+
+    # --- global-mesh Trainer: train step, collective sampling, checkpoint --
+    from vdiff_tpu.data import ArrayDataset, DataLoader
+    from vdiff_tpu.diffusion import GaussianDiffusion
+    from vdiff_tpu.models.unet import UNet
+    from vdiff_tpu.ops.numerics import get_logsnr_schedule
+    from vdiff_tpu.train_lib import Trainer
+
+    rng = np.random.RandomState(0)
+    ds = ArrayDataset(
+        images=rng.randint(0, 256, (32, 8, 8, 3), np.uint8),
+        targets=rng.randint(1, 5, (32,)).astype(np.int64),
+    )
+    loader = DataLoader(ds, batch_size=16, seed=0, process_index=pid, process_count=num_procs)
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1,),
+        num_res_blocks=1, apply_attn=(False,), num_heads=1, drop_rate=0.0,
+        num_classes=0, use_flash=False,
+    )
+    diffusion = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=2,
+        model_out_type="eps", model_var_type="fixed_large", reweight_type="snr",
+        loss_type="mse", w_guide=0.0, p_uncond=0.0,
+    )
+    trainer = Trainer(
+        model=model, diffusion=diffusion, timesteps=0, epochs=1,
+        trainloader=loader, optimizer_config=dict(lr=1e-3, warmup=2),
+        shape=(8, 8, 3), num_save_images=0, seed=0, mesh=mesh,
+    )
+
+    for i, (x, y) in enumerate(loader):
+        loss = trainer.step(x, None)
+    assert np.isfinite(float(jax.device_get(loss)))
+
+    # collective sampling: ALL processes call together; the replicated result
+    # must be identical everywhere (this is the eval-deadlock fix's contract)
+    out = trainer.sample_fn(batch_size=16, use_ddim=True)
+    assert out.shape == (16, 8, 8, 3)
+    gathered = multihost_utils.process_allgather(np.asarray(out, np.float64).mean())
+    np.testing.assert_allclose(gathered[0], gathered[1], rtol=0, atol=0)
+
+    # non-divisible batch: padded shard path instead of a one-process jit hang
+    out10 = trainer.sample_fn(batch_size=10, use_ddim=True)
+    assert out10.shape == (10, 8, 8, 3)
+
+    # collective checkpoint: every process joins the Orbax save (its internal
+    # barriers mismatch under a leader-only call), writes are leader-gated
+    ckpt_dir = os.path.join(tmpdir, "ckpts")
+    from vdiff_tpu.train_lib import CheckpointManager
+
+    trainer.ckpt_manager = CheckpointManager(ckpt_dir, 1)
+    trainer.save_checkpoint(epoch=1)
+    trainer.load_checkpoint(ckpt_dir=ckpt_dir)
+    assert trainer.start_epoch == 1
+
+    sync_global_devices("done")
+    print(f"WORKER_OK {pid}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,3 +65,31 @@ def test_flash_attention_head_folding():
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention(q, k, v, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(out), _direct(q, k, v), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_nonmultiple_of_256_tokens():
+    """T=384 (multiple of 128, not 256): default blocks must shrink to divide T
+    — previously grid/fori_loop silently truncated to the first 256 tokens."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, k, v = _qkv(B=1, T=384, N=1, C=128, seed=11)
+    ref = _xla_attention(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)  # default 256 blocks -> picked 128
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_qkv_nonmultiple_of_256_tokens():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops.attention import flash_attention_qkv
+
+    B, T, N, C = 1, 384, 2, 128
+    rng = np.random.RandomState(13)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_qkv(qkv, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -91,3 +91,33 @@ def test_trainer_sample_labels_balanced(tmp_path):
     labels = np.asarray(trainer.sample_labels())
     assert labels.shape == (4,)
     assert set(labels.tolist()) == {1.0, 2.0, 3.0, 4.0}
+
+
+def test_sample_fn_pads_non_divisible_batch(tmp_path):
+    """B=10 over the 8-device mesh: padded to 16 on-device, sliced back to 10."""
+    trainer = _tiny_trainer(tmp_path)
+    out = trainer.sample_fn(batch_size=10, use_ddim=True)
+    assert out.shape == (10, 8, 8, 3)
+    assert np.all(np.isfinite(out))
+
+
+def test_sample_fn_cache_keys_on_diffusion_config(tmp_path):
+    """Two distinct diffusion configs must never share a compiled sampler
+    (the old id()-based key could collide after GC)."""
+    import dataclasses
+
+    trainer = _tiny_trainer(tmp_path)
+    d1 = trainer.diffusion
+    d2 = dataclasses.replace(d1, sample_timesteps=3)
+    a = trainer.sample_fn(batch_size=16, use_ddim=True, diffusion=d1)
+    b = trainer.sample_fn(batch_size=16, use_ddim=True, diffusion=d2)
+    keys = list(trainer._sample_jit)
+    assert len(keys) == 2 and keys[0] != keys[1]
+    # same config object again → cache hit, no third entry
+    trainer.sample_fn(batch_size=16, use_ddim=True, diffusion=d1)
+    assert len(trainer._sample_jit) == 2
+    # an equal-valued copy must also hit (value semantics, not identity)
+    d1_copy = dataclasses.replace(d1)
+    trainer.sample_fn(batch_size=16, use_ddim=True, diffusion=d1_copy)
+    assert len(trainer._sample_jit) == 2
+    assert a.shape == b.shape == (16, 8, 8, 3)

@@ -263,9 +263,14 @@ class GaussianDiffusion:
             "nonzero": f32(ti > 0),
         }
 
-    def _p_sample_step(self, denoise_fn, x_t, row, y, noise, clip_denoised=True):
+    def _p_sample_step(self, denoise_fn, x_t, row, y, noise, clip_denoised=True, use_ddim=False):
         """One reverse step from a table row; CFG via concat doubling
-        (reference p_sample_step, diffusion.py:360-392)."""
+        (reference p_sample_step, diffusion.py:360-392).
+
+        ``use_ddim`` must match the flag the tables were built with: the DDIM
+        (η=0) posterior is deterministic even for learned-variance models (the
+        reference's p_mean_var DDIM branch ignores intp_frac), so the learned
+        sigma interpolation is skipped there."""
         B = x_t.shape[0]
         ndim = x_t.ndim
         use_cfg = (self.w_guide > 0) and (y is not None)
@@ -298,6 +303,8 @@ class GaussianDiffusion:
 
         mean = row["mean_coef1"] * base + row["mean_coef2"] * pred_x_0
         sigma = row["sigma"]
+        if intp_frac is not None and use_ddim:
+            intp_frac = None  # DDIM posterior is deterministic; learned frac unused
         if intp_frac is not None:
             logvar = row["logvar_min"] + (row["logvar_max"] - row["logvar_min"]) * intp_frac
             sigma = jnp.exp(0.5 * logvar)
@@ -341,7 +348,8 @@ class GaussianDiffusion:
             i, row = inp
             eps = jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
             x_next, _ = self._p_sample_step(
-                denoise_fn, x, row, label, eps, clip_denoised=clip_denoised
+                denoise_fn, x, row, label, eps, clip_denoised=clip_denoised,
+                use_ddim=use_ddim,
             )
             return x_next, None
 
@@ -373,7 +381,9 @@ class GaussianDiffusion:
         def step(x, inp):
             i, row = inp
             eps = jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
-            x_next, pred = self._p_sample_step(denoise_fn, x, row, label, eps)
+            x_next, pred = self._p_sample_step(
+                denoise_fn, x, row, label, eps, use_ddim=use_ddim
+            )
             return x_next, pred
 
         head = T % pred_freq  # leading steps not followed by a snapshot

@@ -130,7 +130,8 @@ def valid_pad_2d(x: jax.Array, kernel_size, stride, mode="constant", value=0.0):
 
 
 def same_pad_2d(x: jax.Array, kernel_size, stride, mode="constant", value=0.0):
-    """Functional SamePad2d (reference modules.py:166-181). x: NHWC."""
+    """Functional SamePad2d (reference modules.py:166-181; unused by UNet —
+    upstream's is too — provided for library parity). x: NHWC."""
     k1, k2 = (kernel_size, kernel_size) if isinstance(kernel_size, int) else kernel_size
     s1, s2 = (stride, stride) if isinstance(stride, int) else stride
     t, b = _pad_amounts(x.shape[1], k1, s1, same=True)

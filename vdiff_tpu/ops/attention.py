@@ -64,17 +64,27 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _pick_block(T: int, preferred: int) -> int:
+    """Largest block ≤ preferred that divides T. Callers guarantee T % 128 == 0,
+    so this always lands on a sublane-aligned size (128 or 256)."""
+    b = min(preferred, T)
+    while T % b:
+        b -= 128
+    return b
+
+
 def flash_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 256, block_k: int = 256
 ) -> jax.Array:
     """Pallas flash attention. q, k, v: (B, T, N, C) → (B, T, N*C).
 
-    Requires T % block ≡ 0 and C % 128 ≡ 0 (MXU lane alignment); callers fall
-    back to the XLA path otherwise.
+    Requires T % 128 ≡ 0 and C % 128 ≡ 0 (MXU lane alignment); callers fall
+    back to the XLA path otherwise. Block sizes are shrunk to divide T so
+    non-multiple-of-256 token counts (e.g. T=384) are covered exactly.
     """
     B, T, N, C = q.shape
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
+    block_q = _pick_block(T, block_q)
+    block_k = _pick_block(T, block_k)
     scale = 1.0 / math.sqrt(C)
 
     # (B, T, N, C) -> (B*N, T, C): heads become batch for the kernel grid
@@ -112,8 +122,8 @@ def flash_attention_qkv(
     B, T, threeNC = qkv.shape
     N = num_heads
     C = threeNC // (3 * N)
-    block_q = min(block_q, T)
-    block_k = min(block_k, T)
+    block_q = _pick_block(T, block_q)
+    block_k = _pick_block(T, block_k)
     scale = 1.0 / math.sqrt(C)
 
     grid = (B, N, T // block_q)

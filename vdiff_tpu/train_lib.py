@@ -188,6 +188,12 @@ class CheckpointManager:
         return os.path.join(self.ckpt_dir, f"ckpt_{tag}")
 
     def save(self, state: TrainState, epoch: int, epochs: int, extra: Optional[dict] = None):
+        """COLLECTIVE under multi-host: Orbax's checkpointer runs internal
+        cross-process barriers, so EVERY process must call save together (it
+        coordinates so only the primary host writes); the extra filesystem
+        mutations here (rmtree of a stale dir, extra_info.json, retention) are
+        leader-only, fenced by barriers."""
+        is_leader = jax.process_index() == 0
         os.makedirs(self.ckpt_dir, exist_ok=True)
         tag = "last" if epoch == epochs else epoch
         payload = {
@@ -199,16 +205,19 @@ class CheckpointManager:
         if state.ema_params is not None:
             payload["ema_params"] = state.ema_params
         path = self._path(tag)
-        if os.path.exists(path):
+        if is_leader and os.path.exists(path):
             shutil.rmtree(path)
+        sync_global_devices("ckpt_dir_cleared")
         self._ckptr.save(path, payload)
         self._ckptr.wait_until_finished()
-        if extra is not None:
+        if extra is not None and is_leader:
             import json
 
             with open(os.path.join(path, "extra_info.json"), "w") as f:
                 json.dump({k: _jsonable(v) for k, v in extra.items()}, f)
-        self._retain()
+        if is_leader:
+            self._retain()
+        sync_global_devices("ckpt_saved")
         return path
 
     def _retain(self):
@@ -436,16 +445,22 @@ class Trainer:
         The batch is sharded over the data axis with ``shard_map`` — the
         compiled analogue of the reference's per-rank sampling + all_gather
         (train_utils.py:171-185); per-shard noise derives from
-        fold_in(rng, axis_index). Falls back to single-device when the batch
-        doesn't divide the mesh.
+        fold_in(rng, axis_index). The gathered result is fully replicated so
+        ``device_get`` is valid on every process under multi-host. Batches that
+        don't divide the mesh are padded up and sliced back on the host.
+
+        COLLECTIVE: under multi-host every process must call this together.
         """
         diffusion = diffusion or self.diffusion
         B = batch_size or self.num_save_images
         H, W, C = self.shape
         has_label = label is not None
         n_dev = self.mesh.devices.size
-        shard = n_dev > 1 and B % n_dev == 0
-        cache_key = (B, use_ddim, has_label, shard, id(diffusion))
+        Bp = -(-B // n_dev) * n_dev  # padded batch (== B when divisible)
+        shard = n_dev > 1
+        # frozen-dataclass key: hashable, and holding it in the dict keeps the
+        # object alive — no id-reuse staleness across GC
+        cache_key = (Bp, use_ddim, has_label, shard, diffusion)
         if cache_key not in self._sample_jit:
 
             def denoise(params, x_t, t_, y_):
@@ -459,29 +474,40 @@ class Trainer:
                 def shard_fn(params, rng, y):
                     idx = jax.lax.axis_index("data")
                     r = jax.random.fold_in(rng, idx)
-                    return diffusion.p_sample(
-                        partial(denoise, params), (B // n_dev, H, W, C), r,
+                    x = diffusion.p_sample(
+                        partial(denoise, params), (Bp // n_dev, H, W, C), r,
                         label=y if has_label else None, use_ddim=use_ddim,
                     )
+                    # replicate the result so every process can read the full
+                    # batch (a P("data") output is not addressable cross-host)
+                    return jax.lax.all_gather(x, "data", axis=0, tiled=True)
 
+                # check_vma=False: the tiled all_gather output IS replicated,
+                # but shard_map's static replication checker can't infer it
                 fn = jax.shard_map(
                     shard_fn, mesh=self.mesh,
-                    in_specs=(P(), P(), y_spec), out_specs=P("data"),
+                    in_specs=(P(), P(), y_spec), out_specs=P(),
+                    check_vma=False,
                 )
                 self._sample_jit[cache_key] = jax.jit(fn)
             else:
 
                 def _sample(params, rng, y):
                     return diffusion.p_sample(
-                        partial(denoise, params), (B, H, W, C), rng,
+                        partial(denoise, params), (Bp, H, W, C), rng,
                         label=y if has_label else None, use_ddim=use_ddim,
                     )
 
                 self._sample_jit[cache_key] = jax.jit(_sample)
         rng = seed_key if seed_key is not None else self.sample_key
-        y_arg = label if has_label else jnp.zeros((B,), jnp.float32)
+        if has_label:
+            y_arg = label
+            if Bp != B:
+                y_arg = jnp.concatenate([label, jnp.zeros((Bp - B,), label.dtype)])
+        else:
+            y_arg = jnp.zeros((Bp,), jnp.float32)
         out = self._sample_jit[cache_key](self._sampling_params(), rng, y_arg)
-        return jax.device_get(out)
+        return jax.device_get(out)[:B]
 
     def sample_labels(self):
         """Balanced class grid / dataset-drawn tag rows (train_utils.py:187-203)."""
@@ -532,15 +558,20 @@ class Trainer:
                         # throttled: reading stats syncs pending device losses
                         it.set_postfix(self.current_stats)
 
-                if self.is_leader and evaluator is not None and not (e + 1) % self.eval_intv:
+                if evaluator is not None and not (e + 1) % self.eval_intv:
+                    # sample_fn is collective (shard_map over the global mesh):
+                    # ALL processes must run the eval; only reporting is
+                    # leader-gated. (The reference's leader-only all_gather is
+                    # the analogous multi-host hang — not replicated here.)
                     eval_results = evaluator.eval(
                         lambda b, d=None: self.sample_fn(
                             label=None, batch_size=b, use_ddim=use_ddim, diffusion=d
                         )
                     )
-                    results.update(self.current_stats)
-                    results.update(eval_results)
-                    it.set_postfix(results)
+                    if self.is_leader:
+                        results.update(self.current_stats)
+                        results.update(eval_results)
+                        it.set_postfix(results)
 
             if ((e + 1) == self.epochs or not (e + 1) % self.image_intv) and self.num_save_images and image_dir:
                 x = self.sample_fn(
@@ -551,8 +582,9 @@ class Trainer:
                     save_image(x, os.path.join(image_dir, f"{e + 1}.png"), nrow=nrow)
             if ((e + 1) == self.epochs or not (e + 1) % self.ckpt_intv) and self.max_ckpts_kept and self.ckpt_manager:
                 extra = results.copy() or dict(self.current_stats)
-                if self.is_leader:
-                    self.save_checkpoint(epoch=e + 1, extra=extra)
+                # collective: every process joins the Orbax save (the manager
+                # leader-gates the actual writes)
+                self.save_checkpoint(epoch=e + 1, extra=extra)
             sync_global_devices(f"epoch_{e}")
 
     @property
