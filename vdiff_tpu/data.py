@@ -24,6 +24,8 @@ import queue as queue_mod
 from dataclasses import dataclass
 from typing import Optional
 
+from . import native
+
 import numpy as np
 
 # ---------------------------------------------------------------------------
@@ -100,26 +102,27 @@ def load_celeba_index(root: str, split: str = "all"):
     return filenames, attr, attr_names
 
 
-def _celeba_load_image(root: str, filename: str) -> np.ndarray:
-    """crop(top=40, left=15, 148x148) → resize 64 bilinear (datasets.py:13-14,133-136)."""
+def _celeba_decode_image(root: str, filename: str) -> np.ndarray:
+    """Decode one aligned CelebA JPEG to its raw (218, 178, 3) uint8 array."""
     from PIL import Image
 
     with Image.open(os.path.join(root, "celeba", "img_align_celeba", filename)) as im:
-        im = im.crop((15, 40, 15 + 148, 40 + 148)).resize((64, 64), Image.BILINEAR)
-        return np.asarray(im, np.uint8)
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
+def _celeba_load_image(root: str, filename: str) -> np.ndarray:
+    """crop(top=40, left=15, 148x148) → resize 64 bilinear (datasets.py:13-14,133-136).
+
+    Per-image path (kept as the parity reference for the batched native
+    kernel); the DataLoader path goes through CelebADataset.load_batch."""
+    raw = _celeba_decode_image(root, filename)[None]
+    return native.crop_resize_bilinear(raw, 40, 15, 148, 148, 64, 64)[0]
 
 
 def _resize_batch_bilinear(x: np.ndarray, size: int) -> np.ndarray:
-    """Resize (N, H, W, C) uint8 via PIL bilinear (torchvision Resize parity)."""
-    from PIL import Image
-
-    n, h, w, c = x.shape
-    out = np.empty((n, size, size, c), np.uint8)
-    for i in range(n):
-        img = x[i, ..., 0] if c == 1 else x[i]
-        arr = np.asarray(Image.fromarray(img).resize((size, size), Image.BILINEAR))
-        out[i] = arr[..., None] if c == 1 else arr
-    return out
+    """Resize (N, H, W, C) uint8, PIL-BILINEAR semantics (torchvision Resize
+    parity) via the native antialiased resampler."""
+    return native.resize_bilinear(np.ascontiguousarray(x), size, size)
 
 
 # ---------------------------------------------------------------------------
@@ -140,12 +143,20 @@ class ArrayDataset:
 
 
 class CelebADataset:
-    """Lazy-decoding CelebA with reference transform semantics."""
+    """Lazy-decoding CelebA with reference transform semantics.
 
-    def __init__(self, root: str, split: str = "all"):
+    JPEG decode fans out over ``num_workers`` threads (PIL releases the GIL in
+    its decoder — the reference's subprocess ``num_workers``, datasets.py:198,
+    maps to a thread pool here since the transform math is native C++); the
+    crop+resize runs as ONE fused native call over the stacked batch.
+    """
+
+    def __init__(self, root: str, split: str = "all", num_workers: int = 0):
         self.root = root
         self.filenames, self.attr, self.attr_names = load_celeba_index(root, split)
         self.random_flip = True
+        self.num_workers = num_workers
+        self._pool = None
 
     @property
     def targets(self):
@@ -154,8 +165,46 @@ class CelebADataset:
     def __len__(self):
         return len(self.filenames)
 
+    def _decode(self, indices: np.ndarray) -> np.ndarray:
+        names = [self.filenames[i] for i in indices]
+        if self.num_workers > 1 and len(names) > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            raws = list(self._pool.map(lambda f: _celeba_decode_image(self.root, f), names))
+        else:
+            raws = [_celeba_decode_image(self.root, f) for f in names]
+        return np.stack(raws)
+
     def load_batch(self, indices: np.ndarray) -> np.ndarray:
-        return np.stack([_celeba_load_image(self.root, self.filenames[i]) for i in indices])
+        raw = self._decode(indices)  # (B, 218, 178, 3)
+        return native.crop_resize_bilinear(raw, 40, 15, 148, 148, 64, 64)
+
+
+class ImageFolder:
+    """Flat directory of generated images (the eval CLI's input), lazily
+    decoded batch-wise like the other datasets."""
+
+    EXTS = {"jpg", "jpeg", "png", "bmp", "webp", "tiff"}
+
+    def __init__(self, img_dir: str):
+        self.img_dir = img_dir
+        self.img_list = [
+            f for f in os.listdir(img_dir) if f.split(".")[-1].lower() in self.EXTS
+        ]
+
+    def __len__(self):
+        return len(self.img_list)
+
+    def load_batch(self, indices: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        out = []
+        for i in indices:
+            with Image.open(os.path.join(self.img_dir, self.img_list[i])) as im:
+                out.append(np.asarray(im.convert("RGB"), np.uint8))
+        return np.stack(out)
 
 
 DEFAULT_ROOT = os.path.expanduser("~/datasets")
@@ -201,7 +250,7 @@ DATA_INFO = {
 }
 
 
-def _build_dataset(dataset: str, root: str, split: str):
+def _build_dataset(dataset: str, root: str, split: str, num_workers: int = 0):
     train = split in {"train", "all"}
     if dataset == "mnist":
         images, labels = load_mnist(root, train=train)
@@ -211,7 +260,7 @@ def _build_dataset(dataset: str, root: str, split: str):
         images, labels = load_cifar10(root, train=train)
         return ArrayDataset(images, labels + 1, random_flip=True)
     if dataset == "celeba":
-        return CelebADataset(root, split=split)
+        return CelebADataset(root, split=split, num_workers=num_workers)
     if dataset == "synthetic":
         n = DATA_INFO["synthetic"]["train_size" if train else "test_size"]
         rng = np.random.RandomState(0 if train else 1)
@@ -283,8 +332,6 @@ class DataLoader:
             x = ds.images[idx]
             y = ds.targets[idx]
         flips = flip_rng if getattr(ds, "random_flip", False) else None
-        from . import native
-
         x = native.normalize_flip(np.ascontiguousarray(x), flips)
         return x, y
 
@@ -344,6 +391,7 @@ def get_dataloader(
     drop_last: bool = True,
     distributed: bool = False,
     is_leader: bool = True,
+    num_workers: int = 0,
     **_ignored,
 ):
     """Factory mirroring reference get_dataloader (datasets.py:176-237).
@@ -368,21 +416,25 @@ def get_dataloader(
             return SubsetDataset(base, {"train": train_inds, "valid": val_inds}[split])
         if val_size == 0 and split == "valid":
             raise ValueError("valid split requires val_size > 0")
-        return _build_dataset(dataset, root, split)
+        return _build_dataset(dataset, root, split, num_workers=num_workers)
 
     # leader-prepares-first gate (reference datasets.py:222-231): with no
     # network egress, "prepare" here can only mean another process already
-    # materialized files; non-leaders wait at the barrier then retry once.
-    try:
-        ds = build()
-    except FileNotFoundError:
-        if distributed:
-            from .parallel import sync_global_devices
+    # materialized files. EVERY process must join the named barrier — a
+    # conditional barrier deadlocks when filesystem state differs across
+    # hosts — so: build-or-record, sync unconditionally, then retry failures.
+    if distributed:
+        from .parallel import sync_global_devices
 
-            sync_global_devices("dataset_download")
+        try:
             ds = build()
-        else:
-            raise
+        except FileNotFoundError:
+            ds = None
+        sync_global_devices("dataset_download")
+        if ds is None:
+            ds = build()
+    else:
+        ds = build()
     loader = DataLoader(
         ds,
         batch_size=batch_size,
