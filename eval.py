@@ -1,131 +1,198 @@
-"""Offline metrics CLI (FID, Precision/Recall) over a directory of generated
-images — same flags as the reference ``eval.py``.
+"""Offline metrics CLI over a directory of generated images — same flags as
+the reference ``eval.py`` plus an ``nll`` metric (bits/dim via the full
+per-timestep VLB scan, reference diffusion.py:555-576, which upstream only
+exposes as a library call).
 
 FID features run batched on the accelerator through the Flax FID-InceptionV3;
-P&R uses the Flax VGG16 features with blocked pairwise distances."""
+P&R uses the Flax VGG16 features with blocked pairwise distances. The ``nll``
+mode additionally needs ``--config-path``/``--ckpt-path`` to rebuild the
+denoiser."""
 
-if __name__ == "__main__":
-    import os
-    import math
-    from argparse import ArgumentParser
-    from functools import partial
+import math
+import os
 
-    import numpy as np
-    from PIL import Image
+import numpy as np
+
+
+def iter_image_batches(folder, total_size, batch_size, rng):
+    """Uniformly subsample the folder to total_size and yield uint8 batches."""
+    indices = np.arange(len(folder))
+    if len(folder) > total_size:
+        indices = rng.choice(len(folder), size=total_size, replace=False)
+    for s in range(0, len(indices), batch_size):
+        yield folder.load_batch(indices[s : s + batch_size])
+
+
+def compute_fid(batches, dataset, precomputed_dir):
     from tqdm import tqdm
 
-    from vdiff_tpu import seed_all
     from vdiff_tpu.metrics import InceptionStatistics, calc_fd, get_precomputed
+
+    istats = InceptionStatistics(
+        input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5
+    )
+    true_mean, true_var = get_precomputed(dataset, download_dir=precomputed_dir)
+    for x in tqdm(batches, desc="Computing Inception statistics"):
+        istats(x)
+    gen_mean, gen_var = istats.get_statistics()
+    return calc_fd(gen_mean, gen_var, true_mean, true_var)
+
+
+def load_true_manifold(builder, dataset, root, precomputed_dir):
+    """Real-data P&R manifold, cached as an npz next to the FID stats.
+
+    celeba uses the full 202,599-image split (reference eval.py:105-107);
+    others use train."""
+    from vdiff_tpu.metrics.precision_recall import Manifold
+
+    path = os.path.join(precomputed_dir, f"pr_manifold_{dataset}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        return Manifold(d["features"], d["kth"])
+
+    from vdiff_tpu.data import _build_dataset
+
+    split = "all" if dataset == "celeba" else "train"
+    manifold = builder(data=_build_dataset(dataset, root, split)).manifold
+    os.makedirs(precomputed_dir, exist_ok=True)
+    np.savez(path, features=manifold.features, kth=manifold.kth)
+    return manifold
+
+
+def compute_pr(folder, args, dataset, root):
+    from functools import partial
+
     from vdiff_tpu.metrics.precision_recall import ManifoldBuilder, calc_pr
+
+    builder = partial(
+        ManifoldBuilder,
+        extr_batch_size=args.eval_batch_size,
+        max_sample_size=args.eval_total_size,
+        row_batch_size=args.row_batch_size,
+        col_batch_size=args.col_batch_size,
+        nhood_size=args.nhood_size,
+    )
+    true_manifold = load_true_manifold(builder, dataset, root, args.precomputed_dir)
+    gen_manifold = builder(data=folder).manifold
+    precision, recall = calc_pr(
+        gen_manifold, true_manifold,
+        row_batch_size=args.row_batch_size, col_batch_size=args.col_batch_size,
+    )
+    decimal_places = math.ceil(math.log(args.eval_total_size, 10))
+    return f"{precision:.{decimal_places}f}/{recall:.{decimal_places}f}"
+
+
+def compute_nll(args, dataset, root):
+    """Test-set bits/dim via the jitted per-timestep VLB scan."""
+    import jax
+    import jax.numpy as jnp
+    from tqdm import tqdm
+
+    from vdiff_tpu import DATA_INFO
+    from vdiff_tpu.data import _build_dataset
+    from vdiff_tpu.native import normalize_flip
+    from vdiff_tpu.factory import (
+        build_diffusion,
+        build_unet,
+        load_checkpoint_params,
+        load_experiment_config,
+    )
+
+    if not (args.config_path and args.ckpt_path):
+        return "nll requires --config-path and --ckpt-path"
+
+    params, head_keys, is_torch = load_checkpoint_params(args.ckpt_path, use_ema=args.use_ema)
+    use_cfg = "class_embed" in head_keys
+    config, _ = load_experiment_config(args.config_path)
+    info = DATA_INFO[dataset]
+    diffusion, _ = build_diffusion(config["diffusion"], w_guide=0.0, continuous_gate=False)
+    model = build_unet(
+        config["model"],
+        in_channels=info["channels"],
+        model_out_type=config["diffusion"]["model_out_type"],
+        num_classes=info.get("num_classes", 0) if use_cfg else 0,
+        multitags=info.get("multitags", False) if use_cfg else False,
+        use_flash=jax.default_backend() == "tpu",
+    )
+    if is_torch:
+        from vdiff_tpu.models.convert import torch_unet_to_flax
+
+        params = torch_unet_to_flax(params, model)
+
+    split = "test" if dataset != "celeba" else "all"
+    ds = _build_dataset(dataset, root, split)
+    B = args.eval_batch_size
+
+    @jax.jit
+    def bpd_batch(x, rng):
+        def denoise_fn(x_t, t_, y_):
+            return model.apply({"params": params}, x_t, t_, y_, train=False)
+
+        total_bpd, _, _, _ = diffusion.calc_all_bpd(denoise_fn, x, None, rng)
+        return total_bpd
+
+    n = min(len(ds), args.eval_total_size)
+    key = jax.random.key(args.seed)
+    totals = []
+    for s in tqdm(range(0, n - B + 1, B), desc="Computing VLB"):
+        idx = np.arange(s, s + B)
+        raw = ds.load_batch(idx) if hasattr(ds, "load_batch") else ds.images[idx]
+        x = jnp.asarray(normalize_flip(np.ascontiguousarray(raw)))  # uint8 → [-1, 1] f32
+        totals.append(np.asarray(bpd_batch(x, jax.random.fold_in(key, s))))
+    return float(np.concatenate(totals).mean())
+
+
+def main(args):
+    from vdiff_tpu import seed_all
+    from vdiff_tpu.data import ImageFolder
+
+    seed_all(args.seed)
+    root = os.path.expanduser(args.root)
+    dataset = args.dataset
+    print(f"Dataset: {dataset}")
+
+    img_dir = os.path.join(args.eval_dir, args.folder_name) if args.folder_name else args.eval_dir
+
+    for metric in set(args.metrics):
+        if metric == "fid":
+            folder = ImageFolder(img_dir)
+            batches = iter_image_batches(
+                folder, args.eval_total_size, args.eval_batch_size, np.random
+            )
+            result = compute_fid(batches, dataset, args.precomputed_dir)
+        elif metric == "pr":
+            result = compute_pr(ImageFolder(img_dir), args, dataset, root)
+        elif metric == "nll":
+            result = compute_nll(args, dataset, root)
+        else:
+            print(f"Unsupported metric {metric!r}! Ignore.")
+            continue
+        print(f"{metric.upper()}: {result}")
+
+
+if __name__ == "__main__":
+    from argparse import ArgumentParser
 
     parser = ArgumentParser()
     parser.add_argument("--root", default="~/datasets", type=str)
     parser.add_argument("--dataset", choices=["mnist", "cifar10", "celeba", "synthetic"], default="cifar10")
-    parser.add_argument("--model-device", default=0, type=int)
-    parser.add_argument("--eval-device", default=0, type=int)
+    parser.add_argument("--model-device", default=0, type=int, help="(parity no-op: JAX places via the mesh)")
+    parser.add_argument("--eval-device", default=0, type=int, help="(parity no-op: JAX places via the mesh)")
     parser.add_argument("--eval-batch-size", default=512, type=int)
     parser.add_argument("--eval-total-size", default=50000, type=int)
-    parser.add_argument("--num-workers", default=4, type=int)
+    parser.add_argument("--num-workers", default=4, type=int, help="(parity no-op: batched native decode)")
     parser.add_argument("--nhood-size", default=3, type=int)
     parser.add_argument("--row-batch-size", default=10000, type=int)
     parser.add_argument("--col-batch-size", default=10000, type=int)
     parser.add_argument("--device", default="tpu", type=str)
     parser.add_argument("--eval-dir", default="./images/eval")
     parser.add_argument("--precomputed-dir", default="./precomputed", type=str)
-    parser.add_argument("--metrics", nargs="+", default=["fid", "pr"], type=str)
+    parser.add_argument("--metrics", nargs="+", default=["fid", "pr"], type=str,
+                        help="any of: fid, pr, nll (nll needs --config-path/--ckpt-path)")
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--folder-name", default="", type=str)
-    args = parser.parse_args()
+    parser.add_argument("--config-path", default="", type=str, help="experiment config (nll only)")
+    parser.add_argument("--ckpt-path", default="", type=str, help="checkpoint (nll only)")
+    parser.add_argument("--use-ema", action="store_true", help="EMA weights for nll")
 
-    root = os.path.expanduser(args.root)
-    dataset = args.dataset
-    print(f"Dataset: {dataset}")
-
-    img_dir = args.eval_dir
-    if args.folder_name:
-        img_dir = os.path.join(img_dir, args.folder_name)
-
-    eval_batch_size = args.eval_batch_size
-    eval_total_size = args.eval_total_size
-
-    class ImageFolder:
-        EXTS = {"jpg", "jpeg", "png", "bmp", "webp", "tiff"}
-
-        def __init__(self, img_dir):
-            self.img_dir = img_dir
-            self.img_list = [
-                f for f in os.listdir(img_dir) if f.split(".")[-1].lower() in self.EXTS
-            ]
-
-        def __len__(self):
-            return len(self.img_list)
-
-        def load_batch(self, indices):
-            out = []
-            for i in indices:
-                with Image.open(os.path.join(self.img_dir, self.img_list[i])) as im:
-                    out.append(np.asarray(im.convert("RGB"), np.uint8))
-            return np.stack(out)
-
-    seed_all(args.seed)
-
-    folder = ImageFolder(img_dir)
-    indices = np.arange(len(folder))
-    if len(folder) > eval_total_size:
-        indices = np.random.choice(len(folder), size=eval_total_size, replace=False)
-
-    def batches():
-        for s in range(0, len(indices), eval_batch_size):
-            yield folder.load_batch(indices[s : s + eval_batch_size])
-
-    def eval_fid():
-        istats = InceptionStatistics(input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5)
-        true_mean, true_var = get_precomputed(dataset, download_dir=args.precomputed_dir)
-        istats.reset()
-        for x in tqdm(batches(), desc="Computing Inception statistics"):
-            istats(x)
-        gen_mean, gen_var = istats.get_statistics()
-        return calc_fd(gen_mean, gen_var, true_mean, true_var)
-
-    def eval_pr():
-        decimal_places = math.ceil(math.log(eval_total_size, 10))
-        str_fmt = f".{decimal_places}f"
-        _builder = partial(
-            ManifoldBuilder,
-            extr_batch_size=eval_batch_size,
-            max_sample_size=eval_total_size,
-            row_batch_size=args.row_batch_size,
-            col_batch_size=args.col_batch_size,
-            nhood_size=args.nhood_size,
-        )
-        manifold_path = os.path.join(args.precomputed_dir, f"pr_manifold_{dataset}.npz")
-        if not os.path.exists(manifold_path):
-            from vdiff_tpu.data import _build_dataset
-
-            true_manifold = _builder(data=_build_dataset(dataset, root, "train")).manifold
-            os.makedirs(args.precomputed_dir, exist_ok=True)
-            np.savez(manifold_path, features=true_manifold.features, kth=true_manifold.kth)
-        else:
-            from vdiff_tpu.metrics.precision_recall import Manifold
-
-            d = np.load(manifold_path)
-            true_manifold = Manifold(d["features"], d["kth"])
-        gen_manifold = _builder(data=folder).manifold
-
-        precision, recall = calc_pr(
-            gen_manifold, true_manifold,
-            row_batch_size=args.row_batch_size, col_batch_size=args.col_batch_size,
-        )
-        return f"{precision:{str_fmt}}/{recall:{str_fmt}}"
-
-    def warning(msg):
-        def print_warning():
-            print(msg)
-
-        return print_warning
-
-    for metric in set(args.metrics):
-        result = {"fid": eval_fid, "pr": eval_pr}.get(
-            metric, warning("Unsupported metric passed! Ignore.")
-        )()
-        print(f"{metric.upper()}: {result}")
+    main(parser.parse_args())

@@ -255,6 +255,8 @@ def convert_fid_weights(torch_state_dict) -> dict:
                 put(stats, mod_path + ["mean"], arr)
             elif pname == "running_var":
                 put(stats, mod_path + ["var"], arr)
+            elif pname != "num_batches_tracked":
+                raise KeyError(f"unexpected key {key}")
         elif pname == "num_batches_tracked":
             continue
         else:

@@ -57,7 +57,16 @@ class VGG16Features(nn.Module):
 
 
 def convert_vgg_weights(torch_state_dict) -> dict:
-    """torchvision-layout vgg16 state_dict → Flax params (fc8 head dropped)."""
+    """torchvision-layout vgg16 state_dict → Flax params (fc8 head dropped).
+
+    Rejects keys outside the known manifest so a layout drift in the weights
+    file fails loudly instead of silently dropping tensors."""
+    from .manifests import vgg16_manifest
+
+    known = set(vgg16_manifest())
+    unknown = set(torch_state_dict) - known
+    if unknown:
+        raise KeyError(f"unexpected vgg16 state-dict keys: {sorted(unknown)[:5]}")
     sd = {
         k: np.asarray(getattr(v, "detach", lambda: v)().cpu()) if hasattr(v, "cpu") else np.asarray(v)
         for k, v in torch_state_dict.items()
