@@ -65,7 +65,12 @@ def _flagship(on_tpu: bool):
 def bench_train(on_tpu: bool):
     """Full train step (cifar10_cond recipe: CFG dropout, EMA, grad clip) on
     synthetic batches — the reproducible artifact behind the ~1070 img/s/chip
-    round-1 number (VERDICT r1 missing #4)."""
+    round-1 number (VERDICT r1 missing #4).
+
+    The K steps are chained inside ONE jitted ``lax.scan``: timing a Python
+    loop of donated-state dispatches under the axon tunnel is unreliable —
+    ``block_until_ready`` on the chain returns early and reports a ~7x
+    impossible throughput (cross-checked in scripts/check_train_timing.py)."""
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
 
     jax.config.update("jax_default_prng_impl", "rbg")  # train.py default
@@ -83,21 +88,24 @@ def bench_train(on_tpu: bool):
         opt_state=optimizer.init(params),
         ema_params=jax.tree.map(jnp.copy, params),
     )
-    step_fn = jax.jit(
-        make_train_step(model, diffusion, optimizer, timesteps=0, num_accum=1,
-                        use_cfg=True, use_ema=True),
-        donate_argnums=(0,),
-    )
+    step_fn = make_train_step(model, diffusion, optimizer, timesteps=0, num_accum=1,
+                              use_cfg=True, use_ema=True)
     x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 3), jnp.float32, -1, 1)
     y = (jnp.arange(batch, dtype=jnp.float32) % 10) + 1
+    n_steps = 20 if on_tpu else 2
 
-    state, _ = step_fn(state, x, y, jax.random.key(2))  # compile
-    jax.block_until_ready(state.params)
-    n_steps = 10 if on_tpu else 2
+    @jax.jit
+    def scan_steps(state, rng):
+        def body(st, k):
+            st, loss = step_fn(st, x, y, k)
+            return st, loss
+        return jax.lax.scan(body, state, jax.random.split(rng, n_steps))
+
+    state, losses = scan_steps(state, jax.random.key(2))  # compile + warmup
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, loss = step_fn(state, x, y, jax.random.key(3 + i))
-    jax.block_until_ready(loss)
+    state, losses = scan_steps(state, jax.random.key(3))
+    jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / n_steps
     img_per_sec_chip = batch / dt / jax.device_count()
     value = round(img_per_sec_chip, 1)
@@ -114,12 +122,16 @@ def bench_train(on_tpu: bool):
     )
 
 
-def main():
-    on_tpu = jax.default_backend() == "tpu"
-    bench_train(on_tpu)
+def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
+    """256-step DDIM sampling throughput. ``w_guide=0`` is the headline FID-2.58
+    condition; ``w_guide=0.1`` exercises the CFG-doubled path (two model
+    evaluations per step via concat doubling)."""
+    import dataclasses
 
     batch = 128 if on_tpu else 4
     model, diffusion = _flagship(on_tpu)
+    if w_guide:
+        diffusion = dataclasses.replace(diffusion, w_guide=w_guide)
 
     rng = jax.random.key(0)
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -154,12 +166,30 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "cifar10_samples_per_sec_per_chip_ddim256",
+                "metric": metric,
                 "value": value,
                 "unit": "samples/s/chip",
-                "vs_baseline": round(value / BASELINE_SAMPLES_PER_SEC, 2),
+                "vs_baseline": round(value / baseline, 2),
             }
-        )
+        ),
+        flush=True,
+    )
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    bench_train(on_tpu)
+    # CFG-guided sampling (w=0.1, the FID-3.12 condition): ~2x model FLOPs/step
+    bench_sampling(
+        on_tpu, w_guide=0.1,
+        metric="cifar10_samples_per_sec_per_chip_ddim256_cfg0.1",
+        baseline=BASELINE_SAMPLES_PER_SEC / 2,
+    )
+    # HEADLINE (must be the LAST line): w=0 sampling
+    bench_sampling(
+        on_tpu, w_guide=0.0,
+        metric="cifar10_samples_per_sec_per_chip_ddim256",
+        baseline=BASELINE_SAMPLES_PER_SEC,
     )
 
 

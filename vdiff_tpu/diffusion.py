@@ -270,7 +270,9 @@ class GaussianDiffusion:
         ``use_ddim`` must match the flag the tables were built with: the DDIM
         (η=0) posterior is deterministic even for learned-variance models (the
         reference's p_mean_var DDIM branch ignores intp_frac), so the learned
-        sigma interpolation is skipped there."""
+        sigma interpolation is skipped there. ``noise=None`` statically skips
+        the noise term (DDIM η=0: sigma ≡ 0, so callers avoid generating a
+        full-shape normal draw per step that XLA cannot DCE)."""
         B = x_t.shape[0]
         ndim = x_t.ndim
         use_cfg = (self.w_guide > 0) and (y is not None)
@@ -320,7 +322,7 @@ class GaussianDiffusion:
             if intp_frac is not None:
                 sigma = sigma[:B]
 
-        sample = mean + cond * sigma * noise
+        sample = mean if noise is None else mean + cond * sigma * noise
         return sample, pred_x_0
 
     def p_sample(
@@ -346,7 +348,12 @@ class GaussianDiffusion:
 
         def body(x, inp):
             i, row = inp
-            eps = jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
+            # DDIM η=0 is deterministic: skip the per-step normal draw entirely
+            eps = (
+                None
+                if use_ddim
+                else jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
+            )
             x_next, _ = self._p_sample_step(
                 denoise_fn, x, row, label, eps, clip_denoised=clip_denoised,
                 use_ddim=use_ddim,
@@ -380,7 +387,11 @@ class GaussianDiffusion:
         # i.e. at rows i ≡ pred_freq-1 (mod pred_freq) counted from row T % pred_freq
         def step(x, inp):
             i, row = inp
-            eps = jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
+            eps = (
+                None
+                if use_ddim
+                else jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
+            )
             x_next, pred = self._p_sample_step(
                 denoise_fn, x, row, label, eps, use_ddim=use_ddim
             )
