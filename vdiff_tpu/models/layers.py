@@ -82,6 +82,33 @@ def Conv(
     )
 
 
+class Conv3x3(nn.Module):
+    """3x3 SAME stride-1 conv, param-tree compatible with :func:`Conv`
+    (``kernel`` HWIO + ``bias``, same initializers → identical params for the
+    same seed). Unlike ``nn.Conv`` it can hand its params out via
+    ``params_only=True`` so the caller can run the fused GN→SiLU→conv Pallas
+    kernel (ops/conv3x3.py) over them at inference."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, params_only: bool = False):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", lecun_trunc_normal(self.init_scale), (3, 3, C, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if params_only:
+            return kernel, bias
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + bias
+
+
 def group_norm(num_channels: int, dtype=None):
     """GroupNorm(32, eps=1e-6) — shared normalizer constant (unet.py:28-30)."""
     return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype)

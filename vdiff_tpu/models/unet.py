@@ -31,9 +31,11 @@ import flax.linen as nn
 
 from ..ops.numerics import get_timestep_embedding
 from ..ops.attention import spatial_attention_qkv
+from ..ops.conv3x3 import fusable, fused_gn_silu_conv3x3
 from ..ops.groupnorm import gn_film_silu
 from .layers import (
     Conv,
+    Conv3x3,
     Dense,
     avg_pool_2x,
     nearest_upsample,
@@ -53,10 +55,13 @@ class FusableGroupNorm(nn.Module):
     use_pallas_ok: bool = True
 
     @nn.compact
-    def __call__(self, x, film_shift=None, film_scale=None, *, apply_silu=False, fuse=False):
+    def __call__(self, x, film_shift=None, film_scale=None, *, apply_silu=False,
+                 fuse=False, params_only=False):
         C = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,))
         beta = self.param("bias", nn.initializers.zeros, (C,))
+        if params_only:  # caller fuses GN into a downstream kernel
+            return gamma, beta
         use_pallas = None if (fuse and self.use_pallas_ok) else False
         return gn_film_silu(
             x, gamma, beta, film_shift, film_scale,
@@ -130,23 +135,38 @@ class ResidualBlock(nn.Module):
         if in_channels != self.out_channels:
             skip = Conv(self.out_channels, (1, 1), name="skip", dtype=self.dtype)(skip)
 
-        # fused GN(+FiLM)+SiLU at inference (no autodiff through the kernel)
+        # fused inference kernels (no autodiff through them; dropout inactive)
         fuse = not train
 
-        h = FusableGroupNorm(name="norm1")(x, apply_silu=True, fuse=fuse)
-        h = Conv(self.out_channels, (3, 3), name="conv1", dtype=self.dtype)(resample(h))
+        norm1 = FusableGroupNorm(name="norm1")
+        conv1 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")
+        # the GN→SiLU→conv3x3 megakernel only applies when nothing resamples
+        # between the norm and the conv
+        if fuse and self.resampling == "none" and fusable(x, self.out_channels):
+            gamma1, beta1 = norm1(x, params_only=True)
+            k1, b1 = conv1(x, params_only=True)
+            h = fused_gn_silu_conv3x3(x, k1, b1, gamma1, beta1)
+        else:
+            h = norm1(x, apply_silu=True, fuse=fuse)
+            h = conv1(resample(h))
 
         # FiLM: fc(SiLU(t_emb)) → (shift, scale); reference chunks shift first
         # (unet.py:142-146)
         emb = Dense(2 * self.out_channels, name="fc", dtype=self.dtype)(nn.silu(t_emb))
         shift, scale = jnp.split(emb, 2, axis=-1)
         # reference order: conv2(dropout(silu(FiLM(GN(h))))) (unet.py:147)
-        h = FusableGroupNorm(name="norm2")(
-            h, film_shift=shift, film_scale=scale, apply_silu=True, fuse=fuse
-        )
+        norm2 = FusableGroupNorm(name="norm2")
+        conv2 = Conv3x3(self.out_channels, init_scale=0.0, dtype=self.dtype, name="conv2")
+        if fuse and fusable(h, self.out_channels):
+            gamma2, beta2 = norm2(h, params_only=True)
+            k2, b2 = conv2(h, params_only=True)
+            return fused_gn_silu_conv3x3(
+                h, k2, b2, gamma2, beta2, shift, scale, skip=skip.astype(h.dtype)
+            )
+        h = norm2(h, film_shift=shift, film_scale=scale, apply_silu=True, fuse=fuse)
         if self.drop_rate > 0.0:
             h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
-        h = Conv(self.out_channels, (3, 3), init_scale=0.0, name="conv2", dtype=self.dtype)(h)
+        h = conv2(h)
         return h + skip
 
 
