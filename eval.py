@@ -38,6 +38,23 @@ def compute_fid(batches, dataset, precomputed_dir):
     return calc_fd(gen_mean, gen_var, true_mean, true_var)
 
 
+def compute_is(batches, splits):
+    """Inception Score over the generated images (the reference publishes IS
+    numbers, README.md:118, but ships no IS code — see metrics/inception_score)."""
+    from tqdm import tqdm
+
+    from vdiff_tpu.metrics.inception_score import InceptionScoreStatistics
+
+    stats = InceptionScoreStatistics(
+        input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5,
+        splits=splits,
+    )
+    for x in tqdm(batches, desc="Computing Inception-Score statistics"):
+        stats(x)
+    mean, std = stats.get_statistics()
+    return f"{mean:.4f} +/- {std:.4f}"
+
+
 def load_true_manifold(builder, dataset, root, precomputed_dir):
     """Real-data P&R manifold, cached as an npz next to the FID stats.
 
@@ -144,7 +161,6 @@ def compute_nll(args, dataset, root):
 
 def main(args):
     from vdiff_tpu import seed_all
-    from vdiff_tpu.data import ImageFolder
 
     seed_all(args.seed)
     root = os.path.expanduser(args.root)
@@ -153,21 +169,42 @@ def main(args):
 
     img_dir = os.path.join(args.eval_dir, args.folder_name) if args.folder_name else args.eval_dir
 
-    for metric in set(args.metrics):
-        if metric == "fid":
+    for metric in sorted(set(args.metrics)):
+        try:
+            result = _compute_metric(metric, args, dataset, root, img_dir)
+        except FileNotFoundError as e:
+            # metric weights/statistics are local files here (no egress);
+            # missing ones skip the metric instead of killing the run
+            print(f"{metric.upper()} skipped: {e}")
+            continue
+        if result is None:
+            print(f"Unsupported metric {metric!r}! Ignore.")
+            continue
+        print(f"{metric.upper()}: {result}")
+
+
+def _compute_metric(metric, args, dataset, root, img_dir):
+    from vdiff_tpu.data import ImageFolder
+
+    if metric in ("fid", "is", "pr") and len(ImageFolder(img_dir)) == 0:
+        raise FileNotFoundError(f"no images found under '{img_dir}'")
+    if metric == "fid":
             folder = ImageFolder(img_dir)
             batches = iter_image_batches(
                 folder, args.eval_total_size, args.eval_batch_size, np.random
             )
-            result = compute_fid(batches, dataset, args.precomputed_dir)
-        elif metric == "pr":
-            result = compute_pr(ImageFolder(img_dir), args, dataset, root)
-        elif metric == "nll":
-            result = compute_nll(args, dataset, root)
-        else:
-            print(f"Unsupported metric {metric!r}! Ignore.")
-            continue
-        print(f"{metric.upper()}: {result}")
+            return compute_fid(batches, dataset, args.precomputed_dir)
+    if metric == "is":
+        folder = ImageFolder(img_dir)
+        batches = iter_image_batches(
+            folder, args.eval_total_size, args.eval_batch_size, np.random
+        )
+        return compute_is(batches, args.is_splits)
+    if metric == "pr":
+        return compute_pr(ImageFolder(img_dir), args, dataset, root)
+    if metric == "nll":
+        return compute_nll(args, dataset, root)
+    return None
 
 
 if __name__ == "__main__":
@@ -188,7 +225,9 @@ if __name__ == "__main__":
     parser.add_argument("--eval-dir", default="./images/eval")
     parser.add_argument("--precomputed-dir", default="./precomputed", type=str)
     parser.add_argument("--metrics", nargs="+", default=["fid", "pr"], type=str,
-                        help="any of: fid, pr, nll (nll needs --config-path/--ckpt-path)")
+                        help="any of: fid, is, pr, nll (nll needs --config-path/--ckpt-path)")
+    parser.add_argument("--is-splits", default=10, type=int,
+                        help="number of splits for the Inception Score std")
     parser.add_argument("--seed", default=1234, type=int)
     parser.add_argument("--folder-name", default="", type=str)
     parser.add_argument("--config-path", default="", type=str, help="experiment config (nll only)")

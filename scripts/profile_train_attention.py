@@ -22,7 +22,6 @@ from vdiff_tpu.diffusion import GaussianDiffusion
 from vdiff_tpu.models.unet import UNet
 from vdiff_tpu.ops.numerics import get_logsnr_schedule
 from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
-from vdiff_tpu.utils.profiling import benchmark
 
 
 def make_step(apply_attn, batch=128):
@@ -43,48 +42,84 @@ def make_step(apply_attn, batch=128):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=optimizer.init(params),
                        ema_params=jax.tree.map(jnp.copy, params))
-    step = jax.jit(make_train_step(model, diffusion, optimizer, timesteps=0,
-                                   num_accum=1, use_cfg=True, use_ema=True))
+    step = make_train_step(model, diffusion, optimizer, timesteps=0,
+                           num_accum=1, use_cfg=True, use_ema=True)
     x = jax.random.uniform(jax.random.key(1), (batch, 32, 32, 3), jnp.float32, -1, 1)
     y = (jnp.arange(batch, dtype=jnp.float32) % 10) + 1
 
-    def run(r):
-        s, l = step(state, x, y, r)
-        return l
+    # K steps chained in ONE jit: per-dispatch timing through the axon tunnel
+    # pays ~27 ms RPC each call (see bench.py bench_train)
+    K = 10
 
-    return run
+    @jax.jit
+    def run(r):
+        def body(st, k):
+            st, loss = step(st, x, y, k)
+            return st, loss
+        _, losses = jax.lax.scan(body, state, jax.random.split(r, K))
+        return losses
+
+    return run, K
+
+
+def _timed(run, K, key, reps=3):
+    import time
+
+    jax.block_until_ready(run(key))  # compile + warmup
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(jax.random.fold_in(key, i)))
+        ts.append((time.perf_counter() - t0) / K)
+    return sorted(ts)[len(ts) // 2]
 
 
 def main():
     jax.config.update("jax_default_prng_impl", "rbg")
-    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}", flush=True)
     B = 128
 
-    with_attn = benchmark(make_step((False, True, True), B), jax.random.key(2), warmup=2, iters=10)
-    no_attn = benchmark(make_step((False, False, False), B), jax.random.key(2), warmup=2, iters=10)
-    t_w, t_n = with_attn["median"], no_attn["median"]
-    print(f"train step WITH attention : {t_w*1e3:8.2f} ms  ({B/t_w:7.1f} img/s)")
+    run_w, K = make_step((False, True, True), B)
+    t_w = _timed(run_w, K, jax.random.key(2))
+    print(f"train step WITH attention : {t_w*1e3:8.2f} ms  ({B/t_w:7.1f} img/s)", flush=True)
+    run_n, K = make_step((False, False, False), B)
+    t_n = _timed(run_n, K, jax.random.key(2))
     print(f"train step NO   attention : {t_n*1e3:8.2f} ms  ({B/t_n:7.1f} img/s)")
-    print(f"attention share (fwd+bwd) : {(t_w-t_n)/t_w*100:5.1f}%  ({(t_w-t_n)*1e3:.2f} ms)")
+    print(f"attention share (fwd+bwd) : {(t_w-t_n)/t_w*100:5.1f}%  ({(t_w-t_n)*1e3:.2f} ms)",
+          flush=True)
 
     # bare op, UNet shapes: two attn stages at 16x16 (T=256) and 8x8 (T=64),
-    # N=1 head, C=256, batch 128 — fwd and fwd+bwd through the XLA path
-    from vdiff_tpu.ops.attention import _xla_attention, spatial_attention
+    # N=1 head, C=256, batch 128 — fwd and fwd+bwd, chained in one jit
+    from vdiff_tpu.ops.attention import _xla_attention, spatial_attention_qkv
 
+    OPK = 50
     for T in (256, 64):
         q = jax.random.normal(jax.random.key(3), (B, T, 1, 256), jnp.bfloat16)
+        qkv = jax.random.normal(jax.random.key(4), (B, T, 3 * 256), jnp.bfloat16)
 
-        fwd = jax.jit(lambda q: _xla_attention(q, q, q))
-        r = benchmark(fwd, q, warmup=2, iters=10)
-        print(f"T={T:4d} XLA attn fwd       : {r['median']*1e6:9.1f} us")
+        def chain_op(op, x0):
+            @jax.jit
+            def run(r):
+                def body(carry, _):
+                    out = op(carry)
+                    return out, None
+                out, _ = jax.lax.scan(body, x0, None, length=OPK)
+                return out
+            return run
 
-        grad = jax.jit(jax.grad(lambda q: _xla_attention(q, q, q).astype(jnp.float32).sum()))
-        r = benchmark(grad, q, warmup=2, iters=10)
-        print(f"T={T:4d} XLA attn fwd+bwd   : {r['median']*1e6:9.1f} us")
+        fwd = chain_op(lambda q: _xla_attention(q, q, q).reshape(q.shape), q)
+        print(f"T={T:4d} XLA attn fwd       : {_timed(fwd, OPK, jax.random.key(0))*1e6:9.1f} us")
 
-        flash = jax.jit(lambda q: spatial_attention(q, q, q, use_flash=True))
-        r = benchmark(flash, q, warmup=2, iters=10)
-        print(f"T={T:4d} flash(fwd dispatch): {r['median']*1e6:9.1f} us")
+        g = jax.grad(lambda q: _xla_attention(q, q, q).astype(jnp.float32).sum())
+        grad = chain_op(lambda q: g(q).reshape(q.shape), q)
+        print(f"T={T:4d} XLA attn fwd+bwd   : {_timed(grad, OPK, jax.random.key(0))*1e6:9.1f} us")
+
+        flash = chain_op(
+            lambda v: jnp.concatenate([spatial_attention_qkv(v, 1, use_flash=True)] * 3, -1),
+            qkv,
+        )
+        print(f"T={T:4d} flash fwd (+concat): {_timed(flash, OPK, jax.random.key(0))*1e6:9.1f} us",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -216,3 +216,65 @@ def test_vgg_converter_fc7_value_parity_vs_torch():
     # elements ~1e-2 off; a layout bug (flatten order, transpose) mismatches
     # wholesale at O(1) relative error, far above this gate
     np.testing.assert_allclose(ours, t.numpy(), rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Inception Score
+# ---------------------------------------------------------------------------
+
+
+def test_is_streaming_matches_direct():
+    from vdiff_tpu.metrics.inception_score import InceptionScoreStatistics, calc_is
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(97, 16) * 3
+    probs = np.exp(logits) / np.exp(logits).sum(axis=1, keepdims=True)
+
+    stats = InceptionScoreStatistics(prob_fn=lambda p: p, splits=5, num_classes=16)
+    for s in range(0, len(probs), 13):  # uneven streaming batches
+        stats.update(probs[s : s + 13])
+    got = stats.get_statistics()
+    want = calc_is(probs, splits=5)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_is_closed_forms():
+    """Uniform p(y|x) → IS = 1; deterministic one-hot per class, classes
+    balanced → IS = K."""
+    from vdiff_tpu.metrics.inception_score import calc_is
+
+    K, N = 8, 64
+    uniform = np.full((N, K), 1.0 / K)
+    mean, std = calc_is(uniform, splits=4)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-12)
+    np.testing.assert_allclose(std, 0.0, atol=1e-12)
+
+    # class blocks of N//K so every round-robin split still sees all K classes
+    onehot = np.eye(K)[np.arange(N) // (N // K)]
+    mean, std = calc_is(onehot, splits=4)
+    np.testing.assert_allclose(mean, K, rtol=1e-9)
+
+
+def test_is_converter_head_roundtrip_from_manifest():
+    """convert_fid_weights(include_head=True) must map the release fc head
+    onto the Flax Dense and produce finite softmax probabilities."""
+    import jax
+    import jax.numpy as jnp
+
+    from vdiff_tpu.metrics.inception import InceptionV3, convert_fid_weights
+    from vdiff_tpu.metrics.manifests import fid_inception_manifest, synth_state_dict
+
+    sd = synth_state_dict(fid_inception_manifest())
+    variables = convert_fid_weights(sd, include_head=True)
+    model = InceptionV3(
+        output_blocks=(3,), resize_input=False, normalize_input=False, include_head=True
+    )
+    outs = model.apply(variables, jnp.zeros((1, 75, 75, 3)))
+    assert outs[-1].shape == (1, 1008)
+
+    ref = model.init(jax.random.key(0), jnp.zeros((1, 75, 75, 3)))
+    assert jax.tree_util.tree_structure(ref["params"]) == jax.tree_util.tree_structure(
+        variables["params"]
+    )
+    for got, exp in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(ref["params"])):
+        assert got.shape == exp.shape

@@ -178,6 +178,7 @@ class InceptionV3(nn.Module):
     output_blocks: Sequence[int] = (3,)
     resize_input: bool = True
     normalize_input: bool = False
+    include_head: bool = False  # append the 1008-class fc logits (for IS)
 
     BLOCK_INDEX_BY_DIM = {64: 0, 192: 1, 768: 2, 2048: 3}
 
@@ -217,7 +218,12 @@ class InceptionV3(nn.Module):
             x = InceptionE("max", name="Mixed_7c")(x)
             x = jnp.mean(x, axis=(1, 2), keepdims=True)  # adaptive avg pool 1x1
             outputs[3] = x
-        return [outputs[i] for i in self.output_blocks]
+        outs = [outputs[i] for i in self.output_blocks]
+        if self.include_head:
+            # 1008-class logits of the TF-compatible release net (the head the
+            # standard Inception-Score protocol marginalizes over)
+            outs.append(nn.Dense(1008, name="fc")(x[:, 0, 0, :]))
+        return outs
 
 
 # ---------------------------------------------------------------------------
@@ -225,9 +231,10 @@ class InceptionV3(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def convert_fid_weights(torch_state_dict) -> dict:
+def convert_fid_weights(torch_state_dict, include_head: bool = False) -> dict:
     """Convert the mseitzer/pytorch-fid InceptionV3 state_dict to Flax
-    {params, batch_stats} collections. The 1008-class fc head is dropped."""
+    {params, batch_stats} collections. The 1008-class fc head is dropped
+    unless ``include_head`` (needed for Inception Score)."""
     params: dict = {}
     stats: dict = {}
 
@@ -241,6 +248,14 @@ def convert_fid_weights(torch_state_dict) -> dict:
         arr = np.asarray(getattr(v, "detach", lambda: v)().cpu()) if hasattr(v, "cpu") else np.asarray(v)
         parts = key.split(".")
         if parts[0] == "fc":
+            if not include_head:
+                continue
+            if parts[1] == "weight":
+                put(params, ["fc", "kernel"], arr.T)  # (1008, 2048) → (2048, 1008)
+            elif parts[1] == "bias":
+                put(params, ["fc", "bias"], arr)
+            else:
+                raise KeyError(f"unexpected key {key}")
             continue
         *mod_path, pname = parts
         # mod_path like ['Mixed_5b', 'branch1x1', 'conv'] or ['Conv2d_1a_3x3', 'bn']
@@ -263,6 +278,45 @@ def convert_fid_weights(torch_state_dict) -> dict:
             raise KeyError(f"unexpected key {key}")
 
     return {"params": params, "batch_stats": stats}
+
+
+def load_is_inception(weights_path: Optional[str] = None, batch_size: int = 128):
+    """Returns prob_fn: uint8/float (N, H, W, C) images → (N, 1008) softmax
+    probabilities of the release net's TF-compatible fc head — the marginal
+    the standard Inception-Score protocol is computed over (torch-fidelity
+    uses this same FID-patched net + 1008-way head for IS)."""
+    weights_path = weights_path or find_fid_weights()
+    if weights_path is None:
+        raise FileNotFoundError(
+            f"FID InceptionV3 weights '{FID_WEIGHTS_FILENAME}' not found in "
+            f"{_SEARCH_DIRS}. No network egress here — place the pytorch-fid "
+            "release file in one of those directories."
+        )
+    import torch
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+    variables = convert_fid_weights(sd, include_head=True)
+    model = InceptionV3(
+        output_blocks=(3,), resize_input=True, normalize_input=False, include_head=True
+    )
+
+    @jax.jit
+    def _probs(x):
+        logits = model.apply(variables, x)[-1]
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def prob_fn(x):
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 127.5 - 1.0
+        if x.shape[-1] == 1:
+            x = np.repeat(x, 3, axis=-1)
+        outs = []
+        for s in range(0, len(x), batch_size):
+            outs.append(np.asarray(_probs(jnp.asarray(x[s : s + batch_size]))))
+        return np.concatenate(outs)
+
+    return prob_fn
 
 
 def find_fid_weights() -> Optional[str]:
