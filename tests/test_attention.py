@@ -93,3 +93,58 @@ def test_flash_qkv_nonmultiple_of_256_tokens():
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention_qkv(qkv, N)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_trainable_forward_and_grads_match_xla():
+    """Custom-VJP flash kernels (training path): value AND q/k/v grads vs
+    autodiff through the XLA attention, interpret mode."""
+    import jax
+
+    from vdiff_tpu.ops.attention import flash_attention_trainable
+
+    BN, T, C = 3, 16, 8
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    ct = jnp.asarray(rng.randn(BN, T, C).astype(np.float32))
+
+    def ref_fn(q, k, v):
+        # head dim of 1 folded in: (BN, T, 1, C)
+        return _xla_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+
+    ref, ref_vjp = jax.vjp(ref_fn, q, k, v)
+    got, got_vjp = jax.vjp(lambda q, k, v: flash_attention_trainable(q, k, v, True), q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    for g_got, g_ref in zip(got_vjp(ct), ref_vjp(ct)):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_attention_qkv_train_dispatch_matches_xla(monkeypatch):
+    """The train=True fused path must equal the XLA path (values + grad wrt
+    qkv), with the TPU gate monkeypatched open in interpret mode."""
+    import jax
+
+    from vdiff_tpu.ops import attention as A
+
+    B, T, N, C = 2, 16, 2, 8
+    rng = np.random.RandomState(9)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    orig = A.flash_attention_trainable
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(A, "_flash_train_ok", lambda T, C: True)
+    monkeypatch.setattr(A, "flash_attention_trainable", lambda q, k, v: orig(q, k, v, True))
+
+    def loss_flash(qkv):
+        return jnp.sum(A.spatial_attention_qkv(qkv, N, use_flash=True, train=True) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    v_got, g_got = jax.value_and_grad(loss_flash)(qkv)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)

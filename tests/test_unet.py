@@ -120,3 +120,40 @@ def test_head_dim_attention_variant():
     tm, jm, variables = _build_pair(num_heads=None, head_dim=32)
     ours, ref = _forward_pair(tm, jm, variables)
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_concat_free_up_path_matches_concat():
+    """The split (concat-free) up-path front must equal running the block on
+    an explicit channel concat — same params, same math (GN groups never
+    straddle the seam; conv over a concat is the sum of per-part convs)."""
+    import numpy as np
+
+    from vdiff_tpu.models.unet import ResidualBlock
+
+    B, H, W, C1, C2, CO = 2, 8, 8, 64, 64, 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, H, W, C1), jnp.float32)
+    s = jnp.asarray(rng.randn(B, H, W, C2), jnp.float32)
+    t_emb = jnp.asarray(rng.randn(B, 32), jnp.float32)
+
+    block = ResidualBlock(CO, drop_rate=0.0)
+    assert block._split_ok(C1, C2)
+    params = block.init(jax.random.key(0), x, t_emb, skip_in=s)["params"]
+
+    split_out = block.apply({"params": params}, x, t_emb, skip_in=s)
+    # same params applied to the explicit concat (split gate off: skip_in=None)
+    concat_out = block.apply(
+        {"params": params}, jnp.concatenate([x, s], axis=-1), t_emb
+    )
+    np.testing.assert_allclose(
+        np.asarray(split_out), np.asarray(concat_out), rtol=2e-5, atol=2e-5
+    )
+
+    # parameter tree must be identical to the concat form (checkpoint compat)
+    concat_params = block.init(
+        jax.random.key(0), jnp.concatenate([x, s], axis=-1), t_emb
+    )["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(concat_params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(concat_params)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

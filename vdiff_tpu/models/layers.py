@@ -82,6 +82,31 @@ def Conv(
     )
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv, param-tree compatible with :func:`Conv` (``kernel`` HWIO +
+    ``bias``); ``params_only=True`` hands the params out so callers can apply
+    it in split/fused form (concat-free up path, unet.py)."""
+
+    features: int
+    init_scale: float = 1.0
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, params_only: bool = False):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", lecun_trunc_normal(self.init_scale), (1, 1, C, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if params_only:
+            return kernel, bias
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return y + bias
+
+
 class Conv3x3(nn.Module):
     """3x3 SAME stride-1 conv, param-tree compatible with :func:`Conv`
     (``kernel`` HWIO + ``bias``, same initializers → identical params for the

@@ -35,12 +35,21 @@ from ..ops.conv3x3 import fusable, fused_gn_silu_conv3x3
 from ..ops.groupnorm import gn_film_silu
 from .layers import (
     Conv,
+    Conv1x1,
     Conv3x3,
     Dense,
     avg_pool_2x,
     nearest_upsample,
     one_hot_exclude_zero,
 )
+
+
+def _conv_nhwc(x, kernel, strides=(1, 1)):
+    """Bare NHWC/HWIO conv in x's compute dtype (bias handled by callers)."""
+    return jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), strides, "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class FusableGroupNorm(nn.Module):
@@ -97,12 +106,14 @@ class AttentionBlock(nn.Module):
         B, H, W, _ = x.shape
         h = FusableGroupNorm(name="norm")(x, apply_silu=False, fuse=not train)
         qkv = Conv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(h)
-        # fused-qkv attention: the Pallas kernel reads q/k/v as views of the
-        # projection output (no split/transpose copies). Flash is
-        # inference-only (no VJP); training takes the fused XLA path.
+        # fused-qkv attention: at inference the Pallas kernel reads q/k/v as
+        # lane-offset views of the projection output (no split copies); at
+        # training it dispatches to the custom-VJP flash kernels (attention
+        # was 20% of the train step through XLA autodiff's materialized
+        # softmax chain)
         out = spatial_attention_qkv(
             qkv.reshape(B, H * W, 3 * hid_dim), num_heads,
-            use_flash=self.use_flash and not train,
+            use_flash=self.use_flash, train=train,
         )
         out = out.reshape(B, H, W, hid_dim)
         out = Conv(in_dim, (1, 1), init_scale=0.0, name="proj_out", dtype=self.dtype)(out)
@@ -122,33 +133,83 @@ class ResidualBlock(nn.Module):
     resampling: str = "none"  # none | upsample | downsample
     dtype: jnp.dtype | None = None
 
+    @staticmethod
+    def _split_ok(c1: int, c2: int) -> bool:
+        """GN(32) groups over concat([a, b]) must not straddle the a/b seam."""
+        total = c1 + c2
+        if total % 32:
+            return False
+        cg = total // 32
+        return c1 % cg == 0 and c2 % cg == 0
+
     @nn.compact
-    def __call__(self, x, t_emb, *, train: bool = False):
-        in_channels = x.shape[-1]
+    def __call__(self, x, t_emb, *, train: bool = False, skip_in=None):
+        """``skip_in`` is the up-path skip tensor the reference concatenates
+        onto x (unet.py:315). When GN groups split cleanly at the seam, the
+        whole front of the block — GN, SiLU, conv1, the 1x1 skip conv — runs
+        concat-free as per-part ops summed into the conv outputs (exact same
+        math: groups never straddle the seam, and conv over a channel concat
+        is the sum of per-part convs). Measured 1.48x on the up-block front at
+        flagship shapes (scripts/bench_concat_free.py): the (B, H, W, C1+C2)
+        concat is 128 MB that XLA materializes and reads twice."""
+        split = (
+            skip_in is not None
+            and self.resampling == "none"
+            and x.shape[-1] + skip_in.shape[-1] != self.out_channels  # 1x1 skip present
+            and self._split_ok(x.shape[-1], skip_in.shape[-1])
+        )
+        if skip_in is not None and not split:
+            x = jnp.concatenate([x, skip_in], axis=-1)
+            skip_in = None
+        in_channels = x.shape[-1] + (skip_in.shape[-1] if split else 0)
         resample = {
             "upsample": nearest_upsample,
             "downsample": avg_pool_2x,
             "none": lambda a: a,
         }[self.resampling]
 
-        skip = resample(x)
-        if in_channels != self.out_channels:
-            skip = Conv(self.out_channels, (1, 1), name="skip", dtype=self.dtype)(skip)
-
         # fused inference kernels (no autodiff through them; dropout inactive)
         fuse = not train
 
         norm1 = FusableGroupNorm(name="norm1")
         conv1 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")
-        # the GN→SiLU→conv3x3 megakernel only applies when nothing resamples
-        # between the norm and the conv
-        if fuse and self.resampling == "none" and fusable(x, self.out_channels):
-            gamma1, beta1 = norm1(x, params_only=True)
-            k1, b1 = conv1(x, params_only=True)
-            h = fused_gn_silu_conv3x3(x, k1, b1, gamma1, beta1)
+        if split:
+            C1, C2 = x.shape[-1], skip_in.shape[-1]
+            ctot = C1 + C2
+            # channel-count carrier for params_only sizing (never computed on)
+            dummy = jnp.zeros((1, 1, 1, ctot), x.dtype)
+            ks, bs = Conv1x1(self.out_channels, dtype=self.dtype, name="skip")(
+                dummy, params_only=True
+            )
+            skip = (
+                _conv_nhwc(x, ks[:, :, :C1])
+                + _conv_nhwc(skip_in, ks[:, :, C1:])
+                + bs.astype(x.dtype)
+            )
+            gamma, beta = norm1(dummy, params_only=True)
+            ga = gn_film_silu(x, gamma[:C1], beta[:C1],
+                              num_groups=32 * C1 // ctot, eps=1e-6, apply_silu=True)
+            gb = gn_film_silu(skip_in, gamma[C1:], beta[C1:],
+                              num_groups=32 * C2 // ctot, eps=1e-6, apply_silu=True)
+            k1, b1 = conv1(dummy, params_only=True)
+            h = (
+                _conv_nhwc(ga, k1[:, :, :C1])
+                + _conv_nhwc(gb, k1[:, :, C1:])
+                + b1.astype(x.dtype)
+            )
         else:
-            h = norm1(x, apply_silu=True, fuse=fuse)
-            h = conv1(resample(h))
+            skip = resample(x)
+            if in_channels != self.out_channels:
+                skip = Conv(self.out_channels, (1, 1), name="skip", dtype=self.dtype)(skip)
+            # the GN→SiLU→conv3x3 megakernel only applies when nothing
+            # resamples between the norm and the conv
+            if fuse and self.resampling == "none" and fusable(x, self.out_channels):
+                gamma1, beta1 = norm1(x, params_only=True)
+                k1, b1 = conv1(x, params_only=True)
+                h = fused_gn_silu_conv3x3(x, k1, b1, gamma1, beta1)
+            else:
+                h = norm1(x, apply_silu=True, fuse=fuse)
+                h = conv1(resample(h))
 
         # FiLM: fc(SiLU(t_emb)) → (shift, scale); reference chunks shift first
         # (unet.py:142-146)
@@ -184,14 +245,14 @@ class _ResAttn(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, t_emb, *, train: bool = False):
+    def __call__(self, x, t_emb, *, train: bool = False, skip_in=None):
         x = ResidualBlock(
             self.out_channels,
             drop_rate=self.drop_rate,
             resampling=self.resampling,
             dtype=self.dtype,
             name="res",
-        )(x, t_emb, train=train)
+        )(x, t_emb, train=train, skip_in=skip_in)
         if self.apply_attn:
             x = AttentionBlock(
                 head_dim=self.head_dim,
@@ -314,8 +375,10 @@ class UNet(nn.Module):
         for i in range(self.levels - 1, -1, -1):
             cur_ch = chs[i]
             for j in range(self.num_res_blocks + 1):
+                # reference concatenates (unet.py:315); passed separately so
+                # the block can run the concat-free split when GN groups allow
                 h = self._block(i, cur_ch, name=f"up_{i}_{j}")(
-                    jnp.concatenate([h, hs.pop()], axis=-1), t_emb, train=train
+                    h, t_emb, train=train, skip_in=hs.pop()
                 )
             if i != 0:
                 if self.resample_with_res:

@@ -141,6 +141,92 @@ def flash_attention_qkv(
     return out
 
 
+# ---------------------------------------------------------------------------
+# differentiable flash attention (training path)
+# ---------------------------------------------------------------------------
+#
+# Profiled on v5e (scripts/profile_train_attention.py): attention is 20.4% of
+# the flagship train step (24.7 ms of 121 ms), most of it the f32 (T, T)
+# softmax chain XLA materializes in HBM forward AND backward. At the UNet's
+# token counts (T <= 1024) a whole (T, T) tile fits VMEM, so both passes run
+# un-blocked per (batch*head) program and recompute the softmax in the
+# backward from q/k (cheaper than saving it; standard flash-bwd identity
+# ds = P * (dp - rowsum(P*dp))).
+
+
+def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)  # (T, T)
+    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bh_spec(T, C):
+    return pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_trainable(q, k, v, interpret: bool = False):
+    """Differentiable fused attention. q/k/v: (BN, T, C) head-folded; returns
+    (BN, T, C). Whole-(T,T) tiles per program — callers gate on T."""
+    return _flash_trainable_fwd(q, k, v, interpret)[0]
+
+
+def _flash_trainable_fwd(q, k, v, interpret):
+    BN, T, C = q.shape
+    scale = 1.0 / math.sqrt(C)
+    out = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale),
+        grid=(BN,),
+        in_specs=[_bh_spec(T, C)] * 3,
+        out_specs=_bh_spec(T, C),
+        out_shape=jax.ShapeDtypeStruct((BN, T, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _flash_trainable_bwd(interpret, res, g):
+    q, k, v = res
+    BN, T, C = q.shape
+    scale = 1.0 / math.sqrt(C)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(BN,),
+        in_specs=[_bh_spec(T, C)] * 4,
+        out_specs=[_bh_spec(T, C)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((BN, T, C), q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, g)
+    return dq, dk, dv
+
+
+flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
+
+
+def _flash_train_ok(T: int, C: int) -> bool:
+    """Whole-(T,T) f32 tiles must fit VMEM alongside the operands."""
+    vmem = 3 * T * T * 4 + 8 * T * C * 4
+    return T % 128 == 0 and C % 128 == 0 and vmem <= 12 * 1024 * 1024
+
+
 def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool = True):
     """Dispatch: Pallas flash kernel when tile-aligned on TPU, else fused XLA."""
     B, T, N, C = q.shape
@@ -150,13 +236,26 @@ def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool 
     return _xla_attention(q, k, v)
 
 
-def spatial_attention_qkv(qkv: jax.Array, num_heads: int, use_flash: bool = True):
-    """Fused-qkv entry: (B, T, 3·N·C) → (B, T, N·C)."""
+def spatial_attention_qkv(
+    qkv: jax.Array, num_heads: int, use_flash: bool = True, train: bool = False
+):
+    """Fused-qkv entry: (B, T, 3·N·C) → (B, T, N·C).
+
+    Inference uses the lane-offset-view flash kernel (no split copies);
+    training uses the custom-VJP flash kernels (the f32 softmax chain is 20%
+    of the train step through XLA autodiff), falling back to the XLA path
+    where the whole-(T,T) tiles don't fit."""
     B, T, threeNC = qkv.shape
-    C = threeNC // (3 * num_heads)
+    N = num_heads
+    C = threeNC // (3 * N)
     on_tpu = jax.default_backend() == "tpu"
-    if use_flash and on_tpu and T % 128 == 0 and C % 128 == 0:
-        return flash_attention_qkv(qkv, num_heads)
+    if use_flash and on_tpu and not train and T % 128 == 0 and C % 128 == 0:
+        return flash_attention_qkv(qkv, N)
+    if use_flash and on_tpu and train and _flash_train_ok(T, C):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        fold = lambda a: a.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+        out = flash_attention_trainable(fold(q), fold(k), fold(v))
+        return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     tok = lambda a: a.reshape(B, T, num_heads, C)
     return _xla_attention(tok(q), tok(k), tok(v))
