@@ -125,10 +125,14 @@ def bench_train(on_tpu: bool):
 def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
     """256-step DDIM sampling throughput. ``w_guide=0`` is the headline FID-2.58
     condition; ``w_guide=0.1`` exercises the CFG-doubled path (two model
-    evaluations per step via concat doubling)."""
+    evaluations per step via concat doubling).
+
+    Batch 64 is the measured throughput optimum on v5e (scripts/
+    bench_sampling_batch.py sweep: 17.0 @ B=64 vs 16.4 @ B=128 vs 15.7 @
+    B=256 — per-sample efficiency decreases with batch at these shapes)."""
     import dataclasses
 
-    batch = 128 if on_tpu else 4
+    batch = 64 if on_tpu else 4
     model, diffusion = _flagship(on_tpu)
     if w_guide:
         diffusion = dataclasses.replace(diffusion, w_guide=w_guide)

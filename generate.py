@@ -91,6 +91,8 @@ def main(args):
         config["diffusion"], w_guide=w_guide,
         sample_timesteps=args.sample_timesteps, continuous_gate=False,
     )
+    import jax.numpy as jnp
+
     model = build_unet(
         config["model"],
         in_channels=info["channels"],
@@ -98,6 +100,9 @@ def main(args):
         num_classes=info.get("num_classes", 0) if use_cfg else 0,
         multitags=info.get("multitags", False) if use_cfg else False,
         use_flash=jax.default_backend() == "tpu",
+        # bf16 activations: +42% sampling throughput on v5e (README table);
+        # off by default to keep f32 parity with the reference sampler
+        dtype=jnp.bfloat16 if args.allow_bf16 else None,
     )
     if is_torch:
         from vdiff_tpu.models.convert import torch_unet_to_flax
@@ -169,6 +174,8 @@ if __name__ == "__main__":
     parser.add_argument("--uncond", action="store_true")
     parser.add_argument("--w-guide", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--allow-bf16", action="store_true",
+                        help="bfloat16 UNet activations (+42%% sampling throughput on TPU)")
     parser.add_argument("--progressive", action="store_true",
                         help="save x̂_0 snapshot strips every --pred-freq steps instead of final samples")
     parser.add_argument("--pred-freq", type=int, default=50,

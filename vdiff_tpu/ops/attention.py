@@ -154,13 +154,22 @@ def flash_attention_qkv(
 # ds = P * (dp - rowsum(P*dp))).
 
 
+def _bmm(a, b, ca: int, cb: int):
+    """Head-batched matmul: contract axis ``ca`` of a with ``cb`` of b,
+    batching axis 0."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((ca,), (cb,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale
+    q = q_ref[0].astype(jnp.float32) * scale  # (G, T, C)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = _bmm(q, k, 2, 2)  # (G, Tq, Tk)
     p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o_ref[0] = _bmm(p, v, 2, 1).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
@@ -168,54 +177,70 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sca
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)  # (T, T)
-    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    s = _bmm(q * scale, k, 2, 2)
+    p = jax.nn.softmax(s, axis=-1)  # (G, Tq, Tk)
+    dv = _bmm(p, do, 1, 1)  # (G, Tk, C)
+    dp = _bmm(do, v, 2, 2)  # (G, Tq, Tk)
     ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-    dk_ref[0] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale).astype(dk_ref.dtype)
+    dq_ref[0] = (_bmm(ds, k, 2, 1) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (_bmm(ds, q, 1, 1) * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bh_spec(T, C):
-    return pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+def _heads_per_program(BN: int, T: int, C: int) -> int:
+    """Largest divisor of BN whose working set (3 f32 (T,T) tiles + operand
+    casts per head) stays within ~8 MB — per-program launch overhead dwarfs
+    the tiny per-head compute otherwise."""
+    per_head = 3 * T * T * 4 + 8 * T * C * 4
+    g = max(1, (8 * 1024 * 1024) // per_head)
+    while BN % g:
+        g -= 1
+    return g
+
+
+def _gbh_spec(G, T, C):
+    return pl.BlockSpec((1, G, T, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention_trainable(q, k, v, interpret: bool = False):
     """Differentiable fused attention. q/k/v: (BN, T, C) head-folded; returns
-    (BN, T, C). Whole-(T,T) tiles per program — callers gate on T."""
+    (BN, T, C). Whole-(T,T) tiles, G heads per program — callers gate on T."""
     return _flash_trainable_fwd(q, k, v, interpret)[0]
 
 
 def _flash_trainable_fwd(q, k, v, interpret):
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
+    G = _heads_per_program(BN, T, C)
+    fold = lambda a: a.reshape(BN // G, G, T, C)
     out = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, scale=scale),
-        grid=(BN,),
-        in_specs=[_bh_spec(T, C)] * 3,
-        out_specs=_bh_spec(T, C),
-        out_shape=jax.ShapeDtypeStruct((BN, T, C), q.dtype),
+        grid=(BN // G,),
+        in_specs=[_gbh_spec(G, T, C)] * 3,
+        out_specs=_gbh_spec(G, T, C),
+        out_shape=jax.ShapeDtypeStruct((BN // G, G, T, C), q.dtype),
         interpret=interpret,
-    )(q, k, v)
-    return out, (q, k, v)
+    )(fold(q), fold(k), fold(v))
+    return out.reshape(BN, T, C), (q, k, v)
 
 
 def _flash_trainable_bwd(interpret, res, g):
     q, k, v = res
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
+    G = _heads_per_program(BN, T, C)
+    fold = lambda a: a.reshape(BN // G, G, T, C)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale),
-        grid=(BN,),
-        in_specs=[_bh_spec(T, C)] * 4,
-        out_specs=[_bh_spec(T, C)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((BN, T, C), q.dtype)] * 3,
+        grid=(BN // G,),
+        in_specs=[_gbh_spec(G, T, C)] * 4,
+        out_specs=[_gbh_spec(G, T, C)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((BN // G, G, T, C), q.dtype)] * 3,
         interpret=interpret,
-    )(q, k, v, g)
-    return dq, dk, dv
+    )(fold(q), fold(k), fold(v), fold(g))
+    unfold = lambda a: a.reshape(BN, T, C)
+    return unfold(dq), unfold(dk), unfold(dv)
 
 
 flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
@@ -224,7 +249,7 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 def _flash_train_ok(T: int, C: int) -> bool:
     """Whole-(T,T) f32 tiles must fit VMEM alongside the operands."""
     vmem = 3 * T * T * 4 + 8 * T * C * 4
-    return T % 128 == 0 and C % 128 == 0 and vmem <= 12 * 1024 * 1024
+    return T % 8 == 0 and C % 128 == 0 and vmem <= 8 * 1024 * 1024
 
 
 def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool = True):
