@@ -62,14 +62,15 @@ def load_true_manifold(builder, dataset, root, precomputed_dir):
     others use train."""
     from vdiff_tpu.metrics.precision_recall import Manifold
 
-    path = os.path.join(precomputed_dir, f"pr_manifold_{dataset}.npz")
-    if os.path.exists(path):
-        d = np.load(path)
-        return Manifold(d["features"], d["kth"])
-
     from vdiff_tpu.data import _build_dataset
 
     split = "all" if dataset == "celeba" else "train"
+    # split is part of the cache key: the celeba manifold moved from 'train'
+    # to 'all' (reference eval.py:105-107) and must not reuse stale caches
+    path = os.path.join(precomputed_dir, f"pr_manifold_{dataset}_{split}.npz")
+    if os.path.exists(path):
+        d = np.load(path)
+        return Manifold(d["features"], d["kth"])
     manifold = builder(data=_build_dataset(dataset, root, split)).manifold
     os.makedirs(precomputed_dir, exist_ok=True)
     np.savez(path, features=manifold.features, kth=manifold.kth)
@@ -149,6 +150,7 @@ def compute_nll(args, dataset, root):
         return total_bpd
 
     n = min(len(ds), args.eval_total_size)
+    B = min(B, n)  # small datasets: one full-sized batch at most
     key = jax.random.key(args.seed)
     totals = []
     for s in tqdm(range(0, n - B + 1, B), desc="Computing VLB"):
@@ -156,6 +158,9 @@ def compute_nll(args, dataset, root):
         raw = ds.load_batch(idx) if hasattr(ds, "load_batch") else ds.images[idx]
         x = jnp.asarray(normalize_flip(np.ascontiguousarray(raw)))  # uint8 → [-1, 1] f32
         totals.append(np.asarray(bpd_batch(x, jax.random.fold_in(key, s))))
+    used = len(totals) * B
+    if used < n:  # static shapes: the sub-batch tail is dropped, say so
+        print(f"nll computed over {used}/{n} samples (tail < batch size dropped)")
     return float(np.concatenate(totals).mean())
 
 
@@ -186,25 +191,21 @@ def main(args):
 def _compute_metric(metric, args, dataset, root, img_dir):
     from vdiff_tpu.data import ImageFolder
 
-    if metric in ("fid", "is", "pr") and len(ImageFolder(img_dir)) == 0:
-        raise FileNotFoundError(f"no images found under '{img_dir}'")
-    if metric == "fid":
-            folder = ImageFolder(img_dir)
-            batches = iter_image_batches(
-                folder, args.eval_total_size, args.eval_batch_size, np.random
-            )
-            return compute_fid(batches, dataset, args.precomputed_dir)
-    if metric == "is":
-        folder = ImageFolder(img_dir)
-        batches = iter_image_batches(
-            folder, args.eval_total_size, args.eval_batch_size, np.random
-        )
-        return compute_is(batches, args.is_splits)
-    if metric == "pr":
-        return compute_pr(ImageFolder(img_dir), args, dataset, root)
     if metric == "nll":
         return compute_nll(args, dataset, root)
-    return None
+    if metric not in ("fid", "is", "pr"):
+        return None
+    folder = ImageFolder(img_dir)
+    if len(folder) == 0:
+        raise FileNotFoundError(f"no images found under '{img_dir}'")
+    if metric == "pr":
+        return compute_pr(folder, args, dataset, root)
+    batches = iter_image_batches(
+        folder, args.eval_total_size, args.eval_batch_size, np.random
+    )
+    if metric == "fid":
+        return compute_fid(batches, dataset, args.precomputed_dir)
+    return compute_is(batches, args.is_splits)
 
 
 if __name__ == "__main__":

@@ -87,7 +87,16 @@ def apply_precision_flags(speedup, prng_impl, logger):
 
 
 def make_experiment_dirs(exp_dir, exp_name, is_leader):
-    timestamp = datetime.now().strftime("%Y-%m-%dT%H%M%S%f")
+    # every process must agree on the run directory: checkpoint saving is a
+    # collective (Orbax coordinates across hosts over ONE shared path), so the
+    # timestamp is process-0's, broadcast to everyone
+    ts_us = int(datetime.now().timestamp() * 1e6)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        import numpy as np
+
+        ts_us = int(multihost_utils.broadcast_one_to_all(np.int64(ts_us)))
+    timestamp = datetime.fromtimestamp(ts_us / 1e6).strftime("%Y-%m-%dT%H%M%S%f")
     exp_dir = os.path.join(exp_dir, f"dpm_{exp_name}", timestamp)
     ckpt_dir = os.path.join(exp_dir, "ckpts")
     image_dir = os.path.join(exp_dir, "images")

@@ -111,21 +111,28 @@ def load_checkpoint_params(ckpt_path: str, use_ema: bool = False):
     """Load denoiser weights from an Orbax checkpoint dir or a reference torch
     ``.pt`` file.
 
-    Returns ``(params, head_keys)`` where ``params`` is either a Flax param
-    tree (Orbax) or a torch state dict (caller converts via
-    ``models.convert.torch_unet_to_flax`` once the model is built), and
+    Returns ``(params, head_keys, is_torch)``: ``params`` is either a Flax
+    param tree (Orbax) or a torch state dict (caller converts via
+    ``models.convert.torch_unet_to_flax`` once the model is built),
     ``head_keys`` are the top-level module names — used to sniff conditional
-    models by the presence of ``class_embed`` (reference generate.py:44).
+    models by the presence of ``class_embed`` (reference generate.py:44) —
+    and ``is_torch`` says which format was loaded.
     """
     if os.path.isdir(ckpt_path):
         import orbax.checkpoint as ocp
 
         payload = ocp.StandardCheckpointer().restore(ckpt_path)
-        params = (
-            payload["ema_params"]
-            if use_ema and payload.get("ema_params") is not None
-            else payload["params"]
-        )
+        if use_ema:
+            # consistent with the torch branch: asking for EMA weights a
+            # checkpoint doesn't have is an error, not a silent fallback
+            if payload.get("ema_params") is None:
+                raise KeyError(
+                    f"--use-ema requested but '{ckpt_path}' holds no ema_params "
+                    "(trained without --use-ema?)"
+                )
+            params = payload["ema_params"]
+        else:
+            params = payload["params"]
         return params, set(params.keys()), False
 
     import torch

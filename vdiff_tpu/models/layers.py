@@ -82,12 +82,15 @@ def Conv(
     )
 
 
-class Conv1x1(nn.Module):
-    """1x1 conv, param-tree compatible with :func:`Conv` (``kernel`` HWIO +
-    ``bias``); ``params_only=True`` hands the params out so callers can apply
-    it in split/fused form (concat-free up path, unet.py)."""
+class ParamConv(nn.Module):
+    """SAME stride-1 conv, param-tree compatible with :func:`Conv` (``kernel``
+    HWIO + ``bias``, same initializers → identical params for the same seed).
+    Unlike ``nn.Conv`` it hands its params out via ``params_only=True`` so
+    callers can apply them in fused or split form (the GN→SiLU→conv Pallas
+    kernel in ops/conv3x3.py; the concat-free up path in unet.py)."""
 
     features: int
+    kernel_size: tuple = (3, 3)
     init_scale: float = 1.0
     dtype: jnp.dtype | None = None
 
@@ -95,7 +98,8 @@ class Conv1x1(nn.Module):
     def __call__(self, x, *, params_only: bool = False):
         C = x.shape[-1]
         kernel = self.param(
-            "kernel", lecun_trunc_normal(self.init_scale), (1, 1, C, self.features)
+            "kernel", lecun_trunc_normal(self.init_scale),
+            self.kernel_size + (C, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if params_only:
@@ -107,31 +111,12 @@ class Conv1x1(nn.Module):
         return y + bias
 
 
-class Conv3x3(nn.Module):
-    """3x3 SAME stride-1 conv, param-tree compatible with :func:`Conv`
-    (``kernel`` HWIO + ``bias``, same initializers → identical params for the
-    same seed). Unlike ``nn.Conv`` it can hand its params out via
-    ``params_only=True`` so the caller can run the fused GN→SiLU→conv Pallas
-    kernel (ops/conv3x3.py) over them at inference."""
+def Conv1x1(features, init_scale=1.0, dtype=None, name=None):
+    return ParamConv(features, (1, 1), init_scale=init_scale, dtype=dtype, name=name)
 
-    features: int
-    init_scale: float = 1.0
-    dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, *, params_only: bool = False):
-        C = x.shape[-1]
-        kernel = self.param(
-            "kernel", lecun_trunc_normal(self.init_scale), (3, 3, C, self.features)
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if params_only:
-            return kernel, bias
-        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
-        return y + bias
+def Conv3x3(features, init_scale=1.0, dtype=None, name=None):
+    return ParamConv(features, (3, 3), init_scale=init_scale, dtype=dtype, name=name)
 
 
 def group_norm(num_channels: int, dtype=None):
