@@ -148,3 +148,30 @@ def test_spatial_attention_qkv_train_dispatch_matches_xla(monkeypatch):
     v_got, g_got = jax.value_and_grad(loss_flash)(qkv)
     np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_trainable_qblocked_matches_xla(monkeypatch):
+    """Large-T path (q-blocked fwd/bwd with dk/dv accumulation across q-block
+    grid steps): exercised at tiny sizes by lowering the threshold."""
+    import jax
+
+    from vdiff_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_QBLK_THRESHOLD", 8)
+    monkeypatch.setattr(A, "_QBLK", 8)
+
+    BN, T, C = 2, 24, 8  # 3 q-blocks per (batch*head)
+    rng = np.random.RandomState(21)
+    q = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    k = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    v = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
+    ct = jnp.asarray(rng.randn(BN, T, C).astype(np.float32))
+
+    def ref_fn(q, k, v):
+        return _xla_attention(q[:, :, None, :], k[:, :, None, :], v[:, :, None, :])
+
+    ref, ref_vjp = jax.vjp(ref_fn, q, k, v)
+    got, got_vjp = jax.vjp(lambda q, k, v: A.flash_attention_trainable(q, k, v, True), q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    for g_got, g_ref in zip(got_vjp(ct), ref_vjp(ct)):
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)

@@ -38,6 +38,7 @@ from .layers import (
     Conv1x1,
     Conv3x3,
     Dense,
+    ParamConv,
     avg_pool_2x,
     nearest_upsample,
     one_hot_exclude_zero,
@@ -105,19 +106,28 @@ class AttentionBlock(nn.Module):
         skip = x
         B, H, W, _ = x.shape
         h = FusableGroupNorm(name="norm")(x, apply_silu=False, fuse=not train)
-        qkv = Conv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(h)
+        # qkv/out projections run as token matmuls (param trees identical to
+        # the 1x1 convs): a dot reads the neighboring convs' layouts natively,
+        # where conv(1x1) → Pallas-attention forced ~0.6 ms/step of relayout
+        # copies at B=64 (profiled: copy.1969 et al., scripts/trace_sampler.py)
+        kin, bin_ = ParamConv(3 * hid_dim, (1, 1), name="proj_in", dtype=self.dtype)(
+            h, params_only=True
+        )
+        tokens = h.reshape(B, H * W, in_dim)
+        qkv = jnp.dot(tokens, kin[0, 0].astype(tokens.dtype)) + bin_.astype(tokens.dtype)
         # fused-qkv attention: at inference the Pallas kernel reads q/k/v as
         # lane-offset views of the projection output (no split copies); at
         # training it dispatches to the custom-VJP flash kernels (attention
         # was 20% of the train step through XLA autodiff's materialized
         # softmax chain)
         out = spatial_attention_qkv(
-            qkv.reshape(B, H * W, 3 * hid_dim), num_heads,
-            use_flash=self.use_flash, train=train,
+            qkv, num_heads, use_flash=self.use_flash, train=train,
         )
-        out = out.reshape(B, H, W, hid_dim)
-        out = Conv(in_dim, (1, 1), init_scale=0.0, name="proj_out", dtype=self.dtype)(out)
-        return out + skip
+        kout, bout = ParamConv(in_dim, (1, 1), init_scale=0.0, name="proj_out",
+                               dtype=self.dtype)(out.reshape(B, H, W, hid_dim),
+                                                 params_only=True)
+        out = jnp.dot(out, kout[0, 0].astype(out.dtype)) + bout.astype(out.dtype)
+        return out.reshape(B, H, W, in_dim) + skip
 
 
 class ResidualBlock(nn.Module):

@@ -187,6 +187,47 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, sca
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _attn_fwd_kernel_qblk(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """q-blocked forward for large T: q block (Bq, C) vs full-K/V (T, C).
+    The whole (Bq, T) score row fits VMEM, so the softmax is direct (no
+    online running max)."""
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                          *, scale: float):
+    """q-blocked backward: dq per q-block; dk/dv accumulate in their (f32)
+    output block, which stays VMEM-resident across the q-block grid steps of
+    one (batch*head)."""
+    qb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)  # (Bq, T)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+    dv_ref[0] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+
+
+_QBLK_THRESHOLD = 512  # above this, whole-(T,T) tiles stop fitting VMEM
+_QBLK = 256
+
+
 def _heads_per_program(BN: int, T: int, C: int) -> int:
     """Largest divisor of BN whose working set (3 f32 (T,T) tiles + operand
     casts per head) stays within ~8 MB — per-program launch overhead dwarfs
@@ -212,6 +253,21 @@ def flash_attention_trainable(q, k, v, interpret: bool = False):
 def _flash_trainable_fwd(q, k, v, interpret):
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
+    if T > _QBLK_THRESHOLD:
+        bq = _QBLK
+        out = pl.pallas_call(
+            functools.partial(_attn_fwd_kernel_qblk, scale=scale),
+            grid=(BN, T // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((BN, T, C), q.dtype),
+            interpret=interpret,
+        )(q, k, v)
+        return out, (q, k, v)
     G = _heads_per_program(BN, T, C)
     fold = lambda a: a.reshape(BN // G, G, T, C)
     out = pl.pallas_call(
@@ -229,6 +285,24 @@ def _flash_trainable_bwd(interpret, res, g):
     q, k, v = res
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
+    if T > _QBLK_THRESHOLD:
+        bq = _QBLK
+        qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel_qblk, scale=scale),
+            grid=(BN, T // bq),
+            in_specs=[qspec, kvspec, kvspec, qspec],
+            # dk/dv: f32 accumulators, same block for every q-block step
+            out_specs=[qspec, kvspec, kvspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((BN, T, C), q.dtype),
+                jax.ShapeDtypeStruct((BN, T, C), jnp.float32),
+                jax.ShapeDtypeStruct((BN, T, C), jnp.float32),
+            ],
+            interpret=interpret,
+        )(q, k, v, g)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
     G = _heads_per_program(BN, T, C)
     fold = lambda a: a.reshape(BN // G, G, T, C)
     dq, dk, dv = pl.pallas_call(
@@ -247,9 +321,15 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 
 
 def _flash_train_ok(T: int, C: int) -> bool:
-    """Whole-(T,T) f32 tiles must fit VMEM alongside the operands."""
+    """Small T: whole-(T,T) f32 tiles must fit VMEM alongside the operands.
+    Large T: the q-blocked kernels need T % _QBLK == 0 (e.g. the 32x32-token
+    up-path attention, T=1024)."""
+    if C % 128:
+        return False
+    if T > _QBLK_THRESHOLD:
+        return T % _QBLK == 0 and (3 * _QBLK * T * 4 + 10 * T * C * 4) <= 12 * 1024 * 1024
     vmem = 3 * T * T * 4 + 8 * T * C * 4
-    return T % 8 == 0 and C % 128 == 0 and vmem <= 8 * 1024 * 1024
+    return T % 8 == 0 and vmem <= 8 * 1024 * 1024
 
 
 def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool = True):
