@@ -41,7 +41,10 @@ def main():
 
     jax.block_until_ready(sample(jax.random.key(1)))  # compile + warmup
 
+    import shutil
+
     logdir = "/tmp/sampler_trace"
+    shutil.rmtree(logdir, ignore_errors=True)  # one trace per run
     with jax.profiler.trace(logdir):
         jax.block_until_ready(sample(jax.random.key(2)))
 
@@ -50,7 +53,9 @@ def main():
     if not xplanes:
         return
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # NOTE: tensorboard_plugin_profile's converter has a broken protobuf
+    # import on this box; xprof's is the working one
+    from xprof.convert import raw_to_tool_data
 
     for tool in ("framework_op_stats", "hlo_stats", "op_profile"):
         try:
