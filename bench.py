@@ -127,12 +127,14 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
     condition; ``w_guide=0.1`` exercises the CFG-doubled path (two model
     evaluations per step via concat doubling).
 
-    Batch 64 is the measured throughput optimum on v5e (scripts/
-    bench_sampling_batch.py sweep: 17.0 @ B=64 vs 16.4 @ B=128 vs 15.7 @
-    B=256 — per-sample efficiency decreases with batch at these shapes)."""
+    Batches are the measured throughput optima on v5e (scripts/
+    bench_sampling_batch.py sweeps — per-sample efficiency decreases with
+    batch at these shapes): w=0 optimum B=64 (17.0 vs 16.4 @ B=128); CFG
+    optimum B=32 (8.97 vs 8.56 @ B=64 — the doubled forward then runs at the
+    effective-64 sweet spot)."""
     import dataclasses
 
-    batch = 64 if on_tpu else 4
+    batch = (32 if w_guide else 64) if on_tpu else 4
     model, diffusion = _flagship(on_tpu)
     if w_guide:
         diffusion = dataclasses.replace(diffusion, w_guide=w_guide)
