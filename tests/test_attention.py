@@ -175,3 +175,23 @@ def test_flash_trainable_qblocked_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
     for g_got, g_ref in zip(got_vjp(ct), ref_vjp(ct)):
         np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_qkv_large_t_direct_softmax_path(monkeypatch):
+    """T above the q-block threshold routes to the direct-softmax kernel
+    (lane-offset qkv views); exercised at small T by lowering the threshold
+    and the 512-divisibility via a 512-token input in interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_QBLK_THRESHOLD", 256)
+    B, T, N, C = 1, 512, 1, 128
+    rng = np.random.RandomState(31)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+    with pltpu.force_tpu_interpret_mode():
+        out = A.flash_attention_qkv(qkv, N)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -122,9 +122,27 @@ def flash_attention_qkv(
     B, T, threeNC = qkv.shape
     N = num_heads
     C = threeNC // (3 * N)
+    scale = 1.0 / math.sqrt(C)
+
+    if T > _QBLK_THRESHOLD and T % 512 == 0 and 512 * T * 4 + 9 * T * C * 4 <= 12 * 1024 * 1024:
+        # large T: the direct-softmax q-blocked kernel beats the online-softmax
+        # flash form by ~14% (T=1024: 46.7 vs 40.3 TF/s chained,
+        # scripts/bench_flash_t1024.py) — no running-max rescale passes
+        bq = 512
+        return pl.pallas_call(
+            functools.partial(_attn_fwd_kernel_qblk, scale=scale),
+            grid=(B, N, T // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, C), lambda b, n, i: (b, i, n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, C), lambda b, n, i: (b, 0, N + n), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, T, C), lambda b, n, i: (b, 0, 2 * N + n), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, C), lambda b, n, i: (b, i, n), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, T, N * C), qkv.dtype),
+        )(qkv, qkv, qkv)
+
     block_q = _pick_block(T, block_q)
     block_k = _pick_block(T, block_k)
-    scale = 1.0 / math.sqrt(C)
 
     grid = (B, N, T // block_q)
     out = pl.pallas_call(
