@@ -129,8 +129,9 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
 
     Batches are the measured throughput optima on v5e (scripts/
     bench_sampling_batch.py sweeps — per-sample efficiency decreases with
-    batch at these shapes): w=0 optimum B=64 (17.0 vs 16.4 @ B=128); CFG
-    optimum B=32 (8.97 vs 8.56 @ B=64 — the doubled forward then runs at the
+    batch at these shapes; absolute values are from the revisions the sweeps
+    ran at): w=0 optimum B=64 (17.0 vs 16.4 @ B=128); CFG optimum B=32
+    (8.97 vs 8.56 @ B=64 — the doubled forward then runs at the
     effective-64 sweet spot)."""
     import dataclasses
 

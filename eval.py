@@ -150,6 +150,8 @@ def compute_nll(args, dataset, root):
         return total_bpd
 
     n = min(len(ds), args.eval_total_size)
+    if n <= 0:
+        return "no samples to evaluate (empty split or --eval-total-size 0)"
     B = min(B, n)  # small datasets: one full-sized batch at most
     key = jax.random.key(args.seed)
     totals = []

@@ -5,8 +5,6 @@ no TensorBoard UI needed).
 Run ON TPU: python scripts/trace_sampler.py [batch]
 """
 
-import glob
-import json
 import os
 import sys
 
@@ -41,34 +39,14 @@ def main():
 
     jax.block_until_ready(sample(jax.random.key(1)))  # compile + warmup
 
-    import shutil
+    from trace_common import fresh_logdir, parse_trace
 
-    logdir = "/tmp/sampler_trace"
-    shutil.rmtree(logdir, ignore_errors=True)  # one trace per run
+    logdir = fresh_logdir("/tmp/sampler_trace")
     with jax.profiler.trace(logdir):
         jax.block_until_ready(sample(jax.random.key(2)))
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    print(f"xplane files: {xplanes}", flush=True)
-    if not xplanes:
-        return
-
-    # NOTE: tensorboard_plugin_profile's converter has a broken protobuf
-    # import on this box; xprof's is the working one
-    from xprof.convert import raw_to_tool_data
-
-    for tool in ("framework_op_stats", "hlo_stats", "op_profile"):
-        try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, tool, {})
-        except Exception as e:
-            print(f"[{tool}] failed: {type(e).__name__}: {e}")
-            continue
-        out = f"/tmp/sampler_{tool}.json"
-        if isinstance(data, bytes):
-            data = data.decode("utf-8", errors="replace")
-        with open(out, "w") as f:
-            f.write(data if isinstance(data, str) else json.dumps(data))
-        print(f"[{tool}] -> {out} ({os.path.getsize(out)} bytes)", flush=True)
+    parse_trace(logdir, "/tmp/sampler",
+                tools=("framework_op_stats", "hlo_stats", "op_profile"))
 
 
 if __name__ == "__main__":

@@ -4,8 +4,6 @@ op-level stats (see trace_sampler.py).
 Run ON TPU: python scripts/trace_train.py
 """
 
-import glob
-import json
 import os
 import sys
 
@@ -47,23 +45,14 @@ def main():
     state, losses = steps(state, jax.random.key(2))
     jax.block_until_ready(losses)
 
-    logdir = "/tmp/train_trace"
+    from trace_common import fresh_logdir, parse_trace
+
+    logdir = fresh_logdir("/tmp/train_trace")
     with jax.profiler.trace(logdir):
         state, losses = steps(state, jax.random.key(3))
         jax.block_until_ready(losses)
 
-    xplanes = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
-    print(f"xplane files: {xplanes}", flush=True)
-    if not xplanes:
-        return
-    from xprof.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", errors="replace")
-    with open("/tmp/train_hlo_stats.json", "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(data))
-    print("wrote /tmp/train_hlo_stats.json", flush=True)
+    parse_trace(logdir, "/tmp/train", tools=("hlo_stats",))
 
 
 if __name__ == "__main__":

@@ -13,7 +13,7 @@ Mapping of GPU-specific flags (reference train.py:226-260):
 """
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 import jax
 import jax.numpy as jnp
@@ -96,7 +96,11 @@ def make_experiment_dirs(exp_dir, exp_name, is_leader):
         import numpy as np
 
         ts_us = int(multihost_utils.broadcast_one_to_all(np.int64(ts_us)))
-    timestamp = datetime.fromtimestamp(ts_us / 1e6).strftime("%Y-%m-%dT%H%M%S%f")
+    # UTC formatting: hosts with differing TZ env must still derive the SAME
+    # directory name from the broadcast instant
+    timestamp = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H%M%S%f"
+    )
     exp_dir = os.path.join(exp_dir, f"dpm_{exp_name}", timestamp)
     ckpt_dir = os.path.join(exp_dir, "ckpts")
     image_dir = os.path.join(exp_dir, "images")

@@ -124,11 +124,11 @@ def flash_attention_qkv(
     C = threeNC // (3 * N)
     scale = 1.0 / math.sqrt(C)
 
-    if T > _QBLK_THRESHOLD and T % 512 == 0 and 512 * T * 4 + 9 * T * C * 4 <= 12 * 1024 * 1024:
+    bq = _QBLK_INFER
+    if T > _QBLK_THRESHOLD and T % bq == 0 and bq * T * 4 + 9 * T * C * 4 <= 12 * 1024 * 1024:
         # large T: the direct-softmax q-blocked kernel beats the online-softmax
         # flash form by ~14% (T=1024: 46.7 vs 40.3 TF/s chained,
         # scripts/bench_flash_t1024.py) — no running-max rescale passes
-        bq = 512
         return pl.pallas_call(
             functools.partial(_attn_fwd_kernel_qblk, scale=scale),
             grid=(B, N, T // bq),
@@ -243,7 +243,8 @@ def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 _QBLK_THRESHOLD = 512  # above this, whole-(T,T) tiles stop fitting VMEM
-_QBLK = 256
+_QBLK = 256  # training q-block (bwd holds 3 (bq,T) tiles + 4 (T,C) buffers)
+_QBLK_INFER = 512  # inference q-block (fwd holds 1 (bq,T) tile)
 
 
 def _heads_per_program(BN: int, T: int, C: int) -> int:
@@ -345,7 +346,10 @@ def _flash_train_ok(T: int, C: int) -> bool:
     if C % 128:
         return False
     if T > _QBLK_THRESHOLD:
-        return T % _QBLK == 0 and (3 * _QBLK * T * 4 + 10 * T * C * 4) <= 12 * 1024 * 1024
+        # bwd working set: k/v f32 casts + dk/dv f32 accumulators (4 full
+        # (T, C) buffers) + p/dp/ds (bq, T) tiles; q/do/dq are block-sized
+        vmem = 4 * T * C * 4 + 3 * _QBLK * T * 4 + 3 * _QBLK * C * 4
+        return T % _QBLK == 0 and vmem <= 12 * 1024 * 1024
     vmem = 3 * T * T * 4 + 8 * T * C * 4
     return T % 8 == 0 and vmem <= 8 * 1024 * 1024
 
