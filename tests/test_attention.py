@@ -158,7 +158,7 @@ def test_flash_trainable_qblocked_matches_xla(monkeypatch):
     from vdiff_tpu.ops import attention as A
 
     monkeypatch.setattr(A, "_QBLK_THRESHOLD", 8)
-    monkeypatch.setattr(A, "_QBLK", 8)
+    monkeypatch.setattr(A, "_pick_qblk", lambda T, C: 8)
 
     BN, T, C = 2, 24, 8  # 3 q-blocks per (batch*head)
     rng = np.random.RandomState(21)
@@ -195,3 +195,48 @@ def test_flash_qkv_large_t_direct_softmax_path(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         out = A.flash_attention_qkv(qkv, N)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
+    """Sub-lane head dims (celeba head_dim=64 < 128 lanes) run the flash
+    kernels on zero-padded heads with pre-scaled q — exact vs the XLA path,
+    inference AND training grads, in interpret mode."""
+    import functools
+
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops import attention as A
+
+    B, T, N, C = 1, 128, 2, 32  # C below the "lane" width
+    rng = np.random.RandomState(41)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+
+    def ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return _xla_attention(tok(q), tok(k), tok(v))
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    # pretend the pad target is the true lane width for this tiny shape
+    monkeypatch.setattr(A, "_QBLK_THRESHOLD", 1 << 30)  # whole-tile trainable path
+    orig_trainable = A.flash_attention_trainable
+    monkeypatch.setattr(A, "flash_attention_trainable",
+                        lambda q, k, v: orig_trainable(q, k, v, True))
+
+    # training path (padded trainable kernels): values + grads
+    def loss_flash(qkv):
+        return jnp.sum(A.spatial_attention_qkv(qkv, N, use_flash=True, train=True) ** 2)
+
+    def loss_ref(qkv):
+        return jnp.sum(ref(qkv) ** 2)
+
+    v_got, g_got = jax.value_and_grad(loss_flash)(qkv)
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+    # inference path (padded online flash)
+    with pltpu.force_tpu_interpret_mode():
+        out = A.spatial_attention_qkv(qkv, N, use_flash=True, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=1e-4, atol=1e-4)

@@ -157,3 +157,36 @@ def test_concat_free_up_path_matches_concat():
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(concat_params)):
         assert a.shape == b.shape
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_remat_same_outputs_and_grads():
+    """remat=True (gradient checkpointing) must be a pure memory/FLOP trade:
+    identical forward outputs and parameter gradients."""
+    import numpy as np
+
+    from vdiff_tpu.models.unet import UNet
+
+    kw = dict(
+        in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1, 2),
+        num_res_blocks=1, apply_attn=(False, True), drop_rate=0.0, num_heads=1,
+        num_classes=0, use_flash=False,
+    )
+    base = UNet(**kw)
+    ckpt = UNet(**kw, remat=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
+    t = jnp.asarray([0.3, 0.7], jnp.float32)
+    params = base.init({"params": jax.random.key(0)}, x, t, None)["params"]
+
+    # identical param tree (remat is a lifted transform, names unchanged)
+    p2 = ckpt.init({"params": jax.random.key(0)}, x, t, None)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x, t, None, train=True,
+                               rngs={"dropout": jax.random.key(1)}) ** 2)
+
+    v1, g1 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    v2, g2 = jax.value_and_grad(lambda p: loss(ckpt, p))(params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -149,6 +149,7 @@ def main(args):
         multitags=multitags,
         use_flash=bool(model_r.use_xformers) or jax.default_backend() == "tpu",
         dtype=dtype,
+        remat=args.remat,
     )
 
     trainloader, sampler = get_dataloader(
@@ -263,6 +264,9 @@ if __name__ == "__main__":
     parser.add_argument("--allow-fp16", action="store_true", help="(parity) see --allow-bf16")
     parser.add_argument("--allow-bf16", action="store_true", help="bfloat16 compute in the UNet")
     parser.add_argument("--use-xformers", action="store_true", help="use the fused/Pallas attention path")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient checkpointing per UNet block (activation memory ~/depth, "
+                             "+~1/3 recompute FLOPs; needed for the celeba-scale model on one chip)")
     parser.add_argument("--prng-impl", type=str, default="rbg", choices=["rbg", "threefry2x32"],
                         help="PRNG implementation (rbg is ~18%% faster per train step on TPU)")
     parser.add_argument("--max-ckpts-kept", type=int, help="maximum number of checkpoints to keep on disk (none for no cap)")

@@ -243,8 +243,19 @@ def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 
 
 _QBLK_THRESHOLD = 512  # above this, whole-(T,T) tiles stop fitting VMEM
-_QBLK = 256  # training q-block (bwd holds 3 (bq,T) tiles + 4 (T,C) buffers)
 _QBLK_INFER = 512  # inference q-block (fwd holds 1 (bq,T) tile)
+
+
+def _pick_qblk(T: int, C: int) -> int:
+    """Largest training q-block whose backward working set (k/v f32 casts +
+    f32 dk/dv accumulators + 3 (bq, T) score tiles) fits VMEM; 0 = none."""
+    for bq in (512, 256, 128, 64, 32):
+        if T % bq:
+            continue
+        vmem = 4 * T * C * 4 + 3 * bq * T * 4 + 3 * bq * C * 4
+        if vmem <= 12 * 1024 * 1024:
+            return bq
+    return 0
 
 
 def _heads_per_program(BN: int, T: int, C: int) -> int:
@@ -273,7 +284,7 @@ def _flash_trainable_fwd(q, k, v, interpret):
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
     if T > _QBLK_THRESHOLD:
-        bq = _QBLK
+        bq = _pick_qblk(T, C)
         out = pl.pallas_call(
             functools.partial(_attn_fwd_kernel_qblk, scale=scale),
             grid=(BN, T // bq),
@@ -305,7 +316,7 @@ def _flash_trainable_bwd(interpret, res, g):
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
     if T > _QBLK_THRESHOLD:
-        bq = _QBLK
+        bq = _pick_qblk(T, C)
         qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         kvspec = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
@@ -341,15 +352,12 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 
 def _flash_train_ok(T: int, C: int) -> bool:
     """Small T: whole-(T,T) f32 tiles must fit VMEM alongside the operands.
-    Large T: the q-blocked kernels need T % _QBLK == 0 (e.g. the 32x32-token
-    up-path attention, T=1024)."""
+    Large T: an adaptive q-block must exist (e.g. T=1024/C=256 → bq=512;
+    celeba's T=4096/C_pad=128 → bq=64)."""
     if C % 128:
         return False
     if T > _QBLK_THRESHOLD:
-        # bwd working set: k/v f32 casts + dk/dv f32 accumulators (4 full
-        # (T, C) buffers) + p/dp/ds (bq, T) tiles; q/do/dq are block-sized
-        vmem = 4 * T * C * 4 + 3 * _QBLK * T * 4 + 3 * _QBLK * C * 4
-        return T % _QBLK == 0 and vmem <= 12 * 1024 * 1024
+        return _pick_qblk(T, C) > 0
     vmem = 3 * T * T * 4 + 8 * T * C * 4
     return T % 8 == 0 and vmem <= 8 * 1024 * 1024
 
@@ -368,21 +376,45 @@ def spatial_attention_qkv(
 ):
     """Fused-qkv entry: (B, T, 3·N·C) → (B, T, N·C).
 
-    Inference uses the lane-offset-view flash kernel (no split copies);
-    training uses the custom-VJP flash kernels (the f32 softmax chain is 20%
-    of the train step through XLA autodiff), falling back to the XLA path
-    where the whole-(T,T) tiles don't fit."""
+    Inference uses the lane-offset-view flash kernel (no split copies) when
+    the head dim is lane-aligned; training uses the custom-VJP flash kernels
+    (the f32 softmax chain is 20% of the train step through XLA autodiff).
+
+    Sub-lane head dims (e.g. celeba's head_dim=64) are zero-padded to the
+    128-lane width with q pre-scaled by √(C_pad/C) so the kernels' 1/√C_pad
+    nets to the true 1/√C — exact math, and it keeps the O(T²)-memory XLA
+    fallback off the celeba up-path attention (T=4096, where the materialized
+    logits would be tens of GB at training batch sizes)."""
     B, T, threeNC = qkv.shape
     N = num_heads
     C = threeNC // (3 * N)
     on_tpu = jax.default_backend() == "tpu"
-    if use_flash and on_tpu and not train and T % 128 == 0 and C % 128 == 0:
+    Cp = -(-C // 128) * 128  # lane-padded head dim
+
+    if use_flash and on_tpu and not train and T % 128 == 0 and C == Cp:
         return flash_attention_qkv(qkv, N)
-    if use_flash and on_tpu and train and _flash_train_ok(T, C):
+
+    def folded(pad: bool):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         fold = lambda a: a.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-        out = flash_attention_trainable(fold(q), fold(k), fold(v))
-        return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
+        q, k, v = fold(q), fold(k), fold(v)
+        if pad:
+            widths = [(0, 0), (0, 0), (0, Cp - C)]
+            q = jnp.pad(q * (Cp / C) ** 0.5, widths)  # pre-scale: see docstring
+            k, v = jnp.pad(k, widths), jnp.pad(v, widths)
+        return q, k, v
+
+    def unfolded(out):
+        return out[..., :C].reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
+
+    if use_flash and on_tpu and train and _flash_train_ok(T, Cp):
+        return unfolded(flash_attention_trainable(*folded(pad=C != Cp)))
+    if use_flash and on_tpu and not train and T % 128 == 0:
+        # sub-lane heads at inference: padded online/direct flash (memory-safe
+        # at any T, unlike the materializing XLA path)
+        q, k, v = folded(pad=True)
+        tok = lambda a: a.reshape(B * N, T, 1, Cp)
+        return unfolded(flash_attention(tok(q), tok(k), tok(v)).reshape(B * N, T, Cp))
     q, k, v = jnp.split(qkv, 3, axis=-1)
     tok = lambda a: a.reshape(B, T, num_heads, C)
     return _xla_attention(tok(q), tok(k), tok(v))
