@@ -54,27 +54,28 @@ def main():
     y = (jax.random.uniform(jax.random.key(2), (B, 40)) > 0.5).astype(jnp.float32)
 
     def make_steps(K):
-        @jax.jit
         def steps(state, r):
             def body(st, k):
                 st, loss = step(st, x, y, k)
                 return st, loss
             return jax.lax.scan(body, state, jax.random.split(r, K))
-        return steps
+        # donate: two live 4.8 GB TrainStates OOM the chip at this scale
+        return jax.jit(steps, donate_argnums=(0,))
 
-    def run_timed(K, key):
+    steps4, steps12 = make_steps(4), make_steps(12)
+
+    def run_timed(fn, state, key):
         # device_get forces real completion (the tunnel's block_until_ready
         # alone has been observed returning early)
-        fn = make_steps(K)
-        s, losses = fn(state, key)
-        _ = jax.device_get(losses)  # compile + warmup, forced sync
         t0 = time.perf_counter()
-        s, losses = fn(state, jax.random.fold_in(key, 1))
+        state, losses = fn(state, key)
         losses = jax.device_get(losses)
-        return time.perf_counter() - t0, losses
+        return time.perf_counter() - t0, state, losses
 
-    t4, l4 = run_timed(4, jax.random.key(3))
-    t12, l12 = run_timed(12, jax.random.key(4))
+    _, state, _ = run_timed(steps4, state, jax.random.key(3))   # compile K=4
+    t4, state, l4 = run_timed(steps4, state, jax.random.key(4))
+    _, state, _ = run_timed(steps12, state, jax.random.key(5))  # compile K=12
+    t12, state, l12 = run_timed(steps12, state, jax.random.key(6))
     dt = (t12 - t4) / 8  # Δ between scan lengths cancels constant overheads
     print(f"train step: {dt*1e3:.1f} ms at B={B} -> {B/dt:.1f} img/s/chip "
           f"(delta of 12- vs 4-step scans); losses finite: "

@@ -190,3 +190,30 @@ def test_remat_same_outputs_and_grads():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_celeba_config_param_count_parity():
+    """celeba.json model config: 301.38M params, exactly matching the torch
+    reference (the largest config; pins the full 4-level/multitag/head_dim
+    surface without running a forward)."""
+    import numpy as np
+
+    import ref_loader
+    from vdiff_tpu.models.unet import UNet
+
+    kw = dict(in_channels=3, hid_channels=192, out_channels=6,
+              num_res_blocks=3, embedding_dim=768, drop_rate=0.1,
+              head_dim=64, num_classes=40, multitags=True)
+    tm = ref_loader.load("models.unet").UNet(
+        ch_multipliers=[1, 2, 3, 4], apply_attn=[False, True, True, True], **kw
+    )
+    n_torch = sum(p.numel() for p in tm.parameters())
+
+    fm = UNet(ch_multipliers=(1, 2, 3, 4), apply_attn=(False, True, True, True),
+              use_flash=False, **kw)
+    params = fm.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), jnp.zeros((1, 40)),
+    )["params"]
+    n_flax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    assert n_flax == n_torch, (n_flax, n_torch)  # 301.38M
