@@ -102,10 +102,10 @@ def bench_train(on_tpu: bool):
         return jax.lax.scan(body, state, jax.random.split(rng, n_steps))
 
     state, losses = scan_steps(state, jax.random.key(2))  # compile + warmup
-    jax.block_until_ready(losses)
+    jax.device_get(losses)  # forced sync (see bench_sampling note)
     t0 = time.perf_counter()
     state, losses = scan_steps(state, jax.random.key(3))
-    jax.block_until_ready(losses)
+    jax.device_get(losses)
     dt = (time.perf_counter() - t0) / n_steps
     img_per_sec_chip = batch / dt / jax.device_count()
     value = round(img_per_sec_chip, 1)
@@ -157,14 +157,16 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
             denoise_fn, (batch, 32, 32, 3), r, label=labels, use_ddim=True
         )
 
-    # compile + warmup
-    jax.block_until_ready(sample(jax.random.key(1)))
+    # compile + warmup (device_get forces real completion — the tunnel's
+    # block_until_ready has been observed returning early in other setups;
+    # these numbers are cross-validated against on-chip xprof traces)
+    jax.device_get(sample(jax.random.key(1)))
 
     n_runs = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = sample(jax.random.key(2 + i))
-    jax.block_until_ready(out)
+    jax.device_get(out)
     dt = (time.perf_counter() - t0) / n_runs
 
     n_chips = jax.device_count()
