@@ -122,7 +122,8 @@ def bench_train(on_tpu: bool):
     )
 
 
-def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
+def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float,
+                   baseline_key: str = "vs_baseline"):
     """256-step DDIM sampling throughput. ``w_guide=0`` is the headline FID-2.58
     condition; ``w_guide=0.1`` exercises the CFG-doubled path (two model
     evaluations per step via concat doubling).
@@ -178,7 +179,7 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
                 "metric": metric,
                 "value": value,
                 "unit": "samples/s/chip",
-                "vs_baseline": round(value / baseline, 2),
+                baseline_key: round(value / baseline, 2),
             }
         ),
         flush=True,
@@ -188,11 +189,14 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float):
 def main():
     on_tpu = jax.default_backend() == "tpu"
     bench_train(on_tpu)
-    # CFG-guided sampling (w=0.1, the FID-3.12 condition): ~2x model FLOPs/step
+    # CFG-guided sampling (w=0.1, the FID-3.12 condition): ~2x model FLOPs/step.
+    # No measured reference CFG number exists, so the ratio is against the w=0
+    # estimate halved (2x FLOPs) — reported as vs_baseline_est, not vs_baseline
     bench_sampling(
         on_tpu, w_guide=0.1,
         metric="cifar10_samples_per_sec_per_chip_ddim256_cfg0.1",
         baseline=BASELINE_SAMPLES_PER_SEC / 2,
+        baseline_key="vs_baseline_est",
     )
     # HEADLINE (must be the LAST line): w=0 sampling
     bench_sampling(

@@ -142,11 +142,13 @@ def compute_nll(args, dataset, root):
     B = args.eval_batch_size
 
     @jax.jit
-    def bpd_batch(x, rng):
+    def bpd_batch(x, y, rng):
         def denoise_fn(x_t, t_, y_):
             return model.apply({"params": params}, x_t, t_, y_, train=False)
 
-        total_bpd, _, _, _ = diffusion.calc_all_bpd(denoise_fn, x, None, rng)
+        # conditional checkpoints evaluate the conditional VLB: y flows through
+        # (reference diffusion.py:555 calc_all_bpd takes y)
+        total_bpd, _, _, _ = diffusion.calc_all_bpd(denoise_fn, x, y, rng)
         return total_bpd
 
     n = min(len(ds), args.eval_total_size)
@@ -159,7 +161,8 @@ def compute_nll(args, dataset, root):
         idx = np.arange(s, s + B)
         raw = ds.load_batch(idx) if hasattr(ds, "load_batch") else ds.images[idx]
         x = jnp.asarray(normalize_flip(np.ascontiguousarray(raw)))  # uint8 → [-1, 1] f32
-        totals.append(np.asarray(bpd_batch(x, jax.random.fold_in(key, s))))
+        y = jnp.asarray(np.asarray(ds.targets)[idx], jnp.float32) if use_cfg else None
+        totals.append(np.asarray(bpd_batch(x, y, jax.random.fold_in(key, s))))
     used = len(totals) * B
     if used < n:  # static shapes: the sub-batch tail is dropped, say so
         print(f"nll computed over {used}/{n} samples (tail < batch size dropped)")

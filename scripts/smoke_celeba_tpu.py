@@ -1,10 +1,10 @@
 """CelebA-flagship-shape smoke on the real chip: one jitted train step
 (celeba.json model: 64x64, hid=192, ch_mult (1,2,3,4), head_dim=64 → padded
-flash kernels incl. the T=4096 up-path attention) + a short DDIM sample.
+sub-lane flash kernels; attention at levels 1-3, max T = 32·32 = 1024) + a
+short DDIM sample.
 
-The XLA attention fallback would materialize (B, N, 4096, 4096) f32 logits
-(~25 GB at B=64) — this script exists to prove the padded flash path keeps
-celeba training on-chip.
+This script exists to prove the padded-head flash path keeps the 301M-param
+celeba training run on one chip (together with remat).
 
 Run ON TPU: python scripts/smoke_celeba_tpu.py
 """

@@ -11,6 +11,10 @@ the TPU-pod analogue of the reference's torchrun bring-up
   missing case, which must raise cleanly rather than deadlock)
 * a global-mesh jitted train step + the collective ``sample_fn`` (all_gather
   to a replicated result readable on every process)
+* ``Evaluator.eval`` driving the collective sample_fn on every process
+  (end-to-end proof of the eval-deadlock fix) with an injected feature stack
+* CFG/multitag sampling under the sharded sampler, incl. the rank-preserving
+  (B, K) label pad for non-divisible batches
 * leader-gated checkpoint save, restored by the non-leader
 
 Prints ``WORKER_OK <pid>`` on success; any assertion/exception fails the
@@ -125,6 +129,61 @@ def main():
     # non-divisible batch: padded shard path instead of a one-process jit hang
     out10 = trainer.sample_fn(batch_size=10, use_ddim=True)
     assert out10.shape == (10, 8, 8, 3)
+
+    # --- Evaluator.eval under multi-process: every process drives the
+    # collective sample_fn; only the FID math is host-side. This is the
+    # end-to-end proof of the train_lib eval-deadlock fix (the reference's
+    # leader-only Evaluator + all_gather-inside-sample_fn hangs here).
+    from vdiff_tpu.train_lib import Evaluator
+
+    feat_rng = np.random.RandomState(42)  # identical on every process
+    ref_feats = feat_rng.randn(512, 8)
+    target_stats = (ref_feats.mean(0), np.cov(ref_feats, rowvar=False, ddof=1))
+    evaluator = Evaluator(
+        dataset="synthetic", eval_batch_size=16, max_eval_count=16,
+        feature_fn=lambda im: im.reshape(im.shape[0], -1)[:, :8].astype(np.float64),
+        target_stats=target_stats,
+    )
+    eval_out = evaluator.eval(
+        lambda b, d=None: trainer.sample_fn(label=None, batch_size=b, use_ddim=True, diffusion=d)
+    )
+    assert np.isfinite(eval_out["fid"]), eval_out
+    fids = multihost_utils.process_allgather(np.float64(eval_out["fid"]))
+    np.testing.assert_allclose(fids[0], fids[1], rtol=0, atol=0)
+
+    sync_global_devices("phase_3")
+
+    # --- CFG + multitag sampling under multi-process: guided doubling inside
+    # the shard_map'd sampler, (B, K) label sharding, and the rank-preserving
+    # pad for a non-divisible batch
+    mt_ds = ArrayDataset(
+        images=rng.randint(0, 256, (32, 8, 8, 3), np.uint8),
+        targets=(rng.rand(32, 4) < 0.5).astype(np.float32),
+    )
+    mt_loader = DataLoader(mt_ds, batch_size=16, seed=0, process_index=pid, process_count=num_procs)
+    mt_model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1,),
+        num_res_blocks=1, apply_attn=(False,), num_heads=1, drop_rate=0.0,
+        num_classes=4, multitags=True, use_flash=False,
+    )
+    mt_diffusion = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=2,
+        model_out_type="eps", model_var_type="fixed_large", reweight_type="snr",
+        loss_type="mse", w_guide=0.1, p_uncond=0.1,
+    )
+    mt_trainer = Trainer(
+        model=mt_model, diffusion=mt_diffusion, timesteps=0, epochs=1,
+        trainloader=mt_loader, optimizer_config=dict(lr=1e-3), use_cfg=True,
+        shape=(8, 8, 3), num_save_images=0, seed=0, mesh=mesh,
+    )
+    x, y = next(iter(mt_loader))
+    mt_trainer.step(x, y)
+    tags = jnp.asarray((np.random.RandomState(7).rand(10, 4) < 0.5).astype(np.float32))
+    mt_out = mt_trainer.sample_fn(label=tags, batch_size=10, use_ddim=True)
+    assert mt_out.shape == (10, 8, 8, 3)
+    assert np.all(np.isfinite(mt_out))
+    mt_gathered = multihost_utils.process_allgather(np.asarray(mt_out, np.float64).mean())
+    np.testing.assert_allclose(mt_gathered[0], mt_gathered[1], rtol=0, atol=0)
 
     # collective checkpoint: every process joins the Orbax save (its internal
     # barriers mismatch under a leader-only call), writes are leader-gated

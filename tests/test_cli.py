@@ -79,6 +79,60 @@ def test_generate_from_orbax_checkpoint(tmp_path):
     assert len(pngs) == 2
 
 
+def test_eval_nll_passes_labels_for_conditional_ckpt(tmp_path, monkeypatch):
+    """A conditional checkpoint must evaluate the conditional VLB: dataset
+    labels flow into calc_all_bpd (regression: y was hardwired to None)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from vdiff_tpu.diffusion import GaussianDiffusion
+    from vdiff_tpu.models.unet import UNet
+    from vdiff_tpu.train_lib import CheckpointManager, TrainState, make_optimizer
+
+    with open(CONFIG) as f:
+        cfg = json.load(f)
+    model = UNet(in_channels=3, out_channels=3, num_classes=10, use_flash=False, **cfg["model"])
+    rng = jax.random.key(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,)), jnp.zeros((1,)),
+    )["params"]
+    assert "class_embed" in params  # conditional sniffing precondition
+    opt = make_optimizer(lr=1e-3)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params),
+        ema_params=None,
+    )
+    ckpt_path = CheckpointManager(str(tmp_path / "ckpts")).save(
+        jax.device_get(state), epoch=1, epochs=10
+    )
+
+    seen = {}
+    orig = GaussianDiffusion.calc_all_bpd
+
+    def spy(self, denoise_fn, x_0, y, rng, clip_denoised=True):
+        seen["y_is_none"] = y is None
+        if y is not None:
+            seen["y_shape"] = tuple(y.shape)
+        return (jnp.zeros((x_0.shape[0],)),) + (0.0, 0.0, 0.0)
+
+    monkeypatch.setattr(GaussianDiffusion, "calc_all_bpd", spy)
+    try:
+        from eval import compute_nll
+
+        args = types.SimpleNamespace(
+            config_path=CONFIG, ckpt_path=ckpt_path, use_ema=False,
+            eval_batch_size=4, eval_total_size=4, seed=0,
+        )
+        result = compute_nll(args, "synthetic", "/nonexistent")
+    finally:
+        monkeypatch.setattr(GaussianDiffusion, "calc_all_bpd", orig)
+    assert result == 0.0
+    assert seen["y_is_none"] is False
+    assert seen["y_shape"] == (4,)
+
+
 def test_generate_from_torch_reference_checkpoint(tmp_path):
     """Users of the reference can point generate.py at their torch .pt
     checkpoints directly (models/convert.py migration path)."""

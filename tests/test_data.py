@@ -95,3 +95,39 @@ def test_data_info_parity_keys():
 def test_missing_dataset_raises():
     with pytest.raises(FileNotFoundError):
         _build_dataset("cifar10", "/nonexistent", "train")
+
+
+def test_loader_propagates_producer_errors():
+    """A failure in the prefetch thread (e.g. one corrupt JPEG) must surface in
+    the consumer, not leave it blocked on the queue forever."""
+    import threading
+
+    class CorruptDataset:
+        random_flip = False
+
+        def __len__(self):
+            return 32
+
+        @property
+        def images(self):
+            raise OSError("corrupt image file")
+
+        @property
+        def targets(self):
+            raise OSError("corrupt image file")
+
+    loader = DataLoader(CorruptDataset(), batch_size=8, seed=0)
+    result = {}
+
+    def consume():
+        try:
+            next(iter(loader))
+            result["exc"] = None
+        except Exception as e:  # noqa: BLE001
+            result["exc"] = e
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "loader hung instead of propagating the producer error"
+    assert isinstance(result["exc"], OSError) and "corrupt" in str(result["exc"])

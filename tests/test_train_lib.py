@@ -179,3 +179,40 @@ def test_checkpoint_last_naming(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "c"), max_ckpts_kept=-1)
     path = mgr.save(jax.device_get(state), epoch=10, epochs=10)
     assert path.endswith("ckpt_last")
+
+
+def test_evaluator_skips_gracefully_without_stats(tmp_path):
+    """Missing precomputed FID stats must not kill training at Evaluator
+    construction (regression: __init__ raised FileNotFoundError); eval()
+    reports the skip and never invokes the (collective) sample_fn."""
+    from vdiff_tpu.train_lib import Evaluator
+
+    ev = Evaluator(dataset="cifar10", precomputed_dir=str(tmp_path / "missing"))
+    calls = []
+    messages = []
+    out = ev.eval(lambda b, d=None: calls.append(b), logger=messages.append)
+    assert out == {}
+    assert calls == []
+    assert any("skipped" in m.lower() for m in messages)
+
+
+def test_evaluator_computes_fid_with_injected_stack():
+    """With an injected feature_fn and target stats the Evaluator produces a
+    real FID — near zero when generated and reference distributions match."""
+    from vdiff_tpu.train_lib import Evaluator
+
+    rng = np.random.RandomState(0)
+    D = 8
+    ref = rng.randn(4096, D)
+    target = (ref.mean(0), np.cov(ref, rowvar=False, ddof=1))
+
+    def feature_fn(x):
+        return x.reshape(x.shape[0], -1)[:, :D].astype(np.float64)
+
+    ev = Evaluator(
+        dataset="cifar10", eval_batch_size=256, max_eval_count=1024,
+        feature_fn=feature_fn, target_stats=target,
+    )
+    sample_rng = np.random.RandomState(1)
+    out = ev.eval(lambda b, d=None: sample_rng.randn(b, D, 1, 1))
+    assert "fid" in out and out["fid"] < 0.5

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from vdiff_tpu.data import ArrayDataset, DataLoader
@@ -99,6 +100,47 @@ def test_sample_fn_pads_non_divisible_batch(tmp_path):
     out = trainer.sample_fn(batch_size=10, use_ddim=True)
     assert out.shape == (10, 8, 8, 3)
     assert np.all(np.isfinite(out))
+
+
+def _tiny_multitag_trainer(tmp_path, num_tags=4):
+    rng = np.random.RandomState(0)
+    ds = ArrayDataset(
+        images=rng.randint(0, 256, (32, 8, 8, 3), np.uint8),
+        targets=(rng.rand(32, num_tags) < 0.5).astype(np.float32),
+    )
+    loader = DataLoader(ds, batch_size=16, seed=0)
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1,),
+        num_res_blocks=1, apply_attn=(True,), num_heads=1, drop_rate=0.0,
+        num_classes=num_tags, multitags=True, use_flash=False,
+    )
+    diffusion = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=2,
+        model_out_type="eps", model_var_type="fixed_large", reweight_type="snr",
+        loss_type="mse", w_guide=0.1, p_uncond=0.1,
+    )
+    return Trainer(
+        model=model, diffusion=diffusion, timesteps=0, epochs=1,
+        trainloader=loader, optimizer_config=dict(lr=1e-3), use_cfg=True,
+        num_accum=1, shape=(8, 8, 3), num_save_images=4, seed=0,
+    )
+
+
+def test_sample_fn_multitag_label_padding(tmp_path):
+    """Multitag labels are (B, K); B=10 over the 8-device mesh pads to 16 —
+    the pad must preserve label rank (regression: 1-D zeros crashed here)."""
+    trainer = _tiny_multitag_trainer(tmp_path)
+    labels = jnp.asarray((np.random.RandomState(1).rand(10, 4) < 0.5).astype(np.float32))
+    out = trainer.sample_fn(label=labels, batch_size=10, use_ddim=True)
+    assert out.shape == (10, 8, 8, 3)
+    assert np.all(np.isfinite(out))
+
+
+def test_multitag_sample_labels_draws_tag_rows(tmp_path):
+    trainer = _tiny_multitag_trainer(tmp_path)
+    labels = np.asarray(trainer.sample_labels())
+    assert labels.shape == (4, 4)
+    assert set(np.unique(labels)).issubset({0.0, 1.0})
 
 
 def test_sample_fn_cache_keys_on_diffusion_config(tmp_path):

@@ -14,7 +14,7 @@ from .models.unet import UNet
 from .utils.config import dict2str, update_config, fill_with_defaults
 from .utils.misc import seed_all
 from .data import DATA_INFO, get_dataloader
-from .train_lib import Trainer, Evaluator, DummyScheduler
+from .train_lib import Trainer, Evaluator
 
 __all__ = [
     "get_dataloader",
@@ -25,7 +25,6 @@ __all__ = [
     "fill_with_defaults",
     "Trainer",
     "Evaluator",
-    "DummyScheduler",
     "GaussianDiffusion",
     "get_logsnr_schedule",
     "UNet",

@@ -343,10 +343,17 @@ class DataLoader:
         flip_rng = np.random.RandomState(flip_seed)
 
         def producer(q):
-            for b in range(nb):
-                idx = indices[b * B : (b + 1) * B]
-                flips = flip_rng.rand(len(idx)) < 0.5
-                q.put(self._materialize(idx, flips))
+            # any failure (corrupt JPEG, IO error, ...) must reach the consumer:
+            # a silently-dead producer leaves the consumer blocked on q.get()
+            # forever, so the exception itself travels through the queue
+            try:
+                for b in range(nb):
+                    idx = indices[b * B : (b + 1) * B]
+                    flips = flip_rng.rand(len(idx)) < 0.5
+                    q.put(self._materialize(idx, flips))
+            except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
+                q.put(exc)
+                return
             q.put(None)
 
         q = queue_mod.Queue(maxsize=self.prefetch)
@@ -356,6 +363,8 @@ class DataLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -64,9 +64,7 @@ class InceptionStatistics:
         self.input_transform = input_transform
         self.activation_dim = activation_dim
         self._feature_fn = feature_fn
-        self.running_mean = np.zeros((activation_dim,), np.float64)
-        self.running_var = np.zeros((activation_dim, activation_dim), np.float64)
-        self.count = 0
+        self.reset()
 
     @property
     def feature_fn(self):
@@ -77,33 +75,33 @@ class InceptionStatistics:
         return self._feature_fn
 
     def update(self, x: np.ndarray):
-        """x: (N, H, W, C) images; accumulates Welford-merged statistics."""
+        """x: (N, H, W, C) images; accumulates first/second raw moments.
+
+        Streaming via f64 raw-moment sums (Σa and Σaᵀa): batch-order
+        independent and exact up to f64 rounding — activations are O(1), so
+        no catastrophic cancellation in cov = E[aᵀa] − μᵀμ."""
         x = self.input_transform(x)
-        act = np.asarray(self.feature_fn(x))
+        act = np.asarray(self.feature_fn(x), np.float64)
         assert act.ndim == 2 and act.shape[1] == self.activation_dim
-        mean = np.mean(act, axis=0, dtype=np.float64)
-        var = np.cov(act, rowvar=False, ddof=0)
-        count = act.shape[0]
-        alpha = count / (self.count + count)
-        if self.count == 0:
-            self.running_mean += mean
-            self.running_var += var
-        else:
-            mean_diff = mean - self.running_mean
-            self.running_mean += alpha * mean_diff
-            self.running_var += alpha * (var - self.running_var)
-            self.running_var += alpha * (1 - alpha) * np.outer(mean_diff, mean_diff)
-        self.count += count
+        self._sum += act.sum(axis=0)
+        self._sumsq += act.T @ act
+        self.count += act.shape[0]
 
     __call__ = update
 
     def get_statistics(self):
-        assert self.count > 1, "Count must be greater than 1!"
-        return self.running_mean, self.running_var * self.count / (self.count - 1)
+        """Returns (mean, unbiased covariance) over everything seen so far."""
+        n = self.count
+        if n < 2:
+            raise ValueError(f"need at least 2 samples for a covariance, got {n}")
+        mean = self._sum / n
+        cov = (self._sumsq - n * np.outer(mean, mean)) / (n - 1)
+        return mean, cov
 
     def reset(self):
-        self.running_mean.fill(0)
-        self.running_var.fill(0)
+        D = self.activation_dim
+        self._sum = np.zeros((D,), np.float64)
+        self._sumsq = np.zeros((D, D), np.float64)
         self.count = 0
 
 

@@ -285,6 +285,11 @@ def _flash_trainable_fwd(q, k, v, interpret):
     scale = 1.0 / math.sqrt(C)
     if T > _QBLK_THRESHOLD:
         bq = _pick_qblk(T, C)
+        if bq == 0:
+            raise ValueError(
+                f"flash_attention_trainable: no q-block fits VMEM for T={T}, C={C}; "
+                "gate calls with _flash_train_ok or use the XLA path"
+            )
         out = pl.pallas_call(
             functools.partial(_attn_fwd_kernel_qblk, scale=scale),
             grid=(BN, T // bq),
@@ -317,6 +322,10 @@ def _flash_trainable_bwd(interpret, res, g):
     scale = 1.0 / math.sqrt(C)
     if T > _QBLK_THRESHOLD:
         bq = _pick_qblk(T, C)
+        if bq == 0:
+            raise ValueError(
+                f"flash_attention_trainable backward: no q-block fits VMEM for T={T}, C={C}"
+            )
         qspec = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         kvspec = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
         dq, dk, dv = pl.pallas_call(
@@ -353,7 +362,7 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 def _flash_train_ok(T: int, C: int) -> bool:
     """Small T: whole-(T,T) f32 tiles must fit VMEM alongside the operands.
     Large T: an adaptive q-block must exist (e.g. T=1024/C=256 → bq=512;
-    celeba's T=4096/C_pad=128 → bq=64)."""
+    celeba's T=1024/C_pad=128 → bq=512)."""
     if C % 128:
         return False
     if T > _QBLK_THRESHOLD:
@@ -382,9 +391,9 @@ def spatial_attention_qkv(
 
     Sub-lane head dims (e.g. celeba's head_dim=64) are zero-padded to the
     128-lane width with q pre-scaled by √(C_pad/C) so the kernels' 1/√C_pad
-    nets to the true 1/√C — exact math, and it keeps the O(T²)-memory XLA
-    fallback off the celeba up-path attention (T=4096, where the materialized
-    logits would be tens of GB at training batch sizes)."""
+    nets to the true 1/√C — exact math that keeps celeba's attention (T up to
+    32·32 = 1024 at levels 1-3 of the 64×64 input, 16 sub-lane heads) on the
+    Pallas kernels instead of the XLA fallback."""
     B, T, threeNC = qkv.shape
     N = num_heads
     C = threeNC // (3 * N)

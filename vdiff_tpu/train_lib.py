@@ -48,22 +48,6 @@ from .parallel import (
 from .utils.misc import RunningStatistics, save_image
 
 
-class DummyScheduler:
-    """Kept for API parity (reference train_utils.py:17-27); LR schedules are
-    part of the optax optimizer here."""
-
-    @staticmethod
-    def step():
-        pass
-
-    def load_state_dict(self, state_dict):
-        pass
-
-    @staticmethod
-    def state_dict():
-        return None
-
-
 class TrainState(flax.struct.PyTreeNode):
     step: jax.Array
     params: Any
@@ -503,7 +487,9 @@ class Trainer:
         if has_label:
             y_arg = label
             if Bp != B:
-                y_arg = jnp.concatenate([label, jnp.zeros((Bp - B,), label.dtype)])
+                # pad rank-preserving: multitag labels are (B, K), not (B,)
+                pad = jnp.zeros((Bp - B,) + label.shape[1:], label.dtype)
+                y_arg = jnp.concatenate([label, pad])
         else:
             y_arg = jnp.zeros((Bp,), jnp.float32)
         out = self._sample_jit[cache_key](self._sampling_params(), rng, y_arg)
@@ -618,20 +604,40 @@ class Evaluator:
     """In-training FID evaluation (reference train_utils.py:355-378), with the
     clean signature the reference intended: sample_fn(batch_size) -> images."""
 
-    def __init__(self, dataset: str, diffusion=None, eval_batch_size=256, max_eval_count=10000, precomputed_dir="precomputed"):
+    def __init__(self, dataset: str, diffusion=None, eval_batch_size=256, max_eval_count=10000,
+                 precomputed_dir="precomputed", feature_fn=None, target_stats=None):
         from .metrics.fid import InceptionStatistics, get_precomputed, calc_fd
 
         self.diffusion = diffusion
-        self.istats = InceptionStatistics()
+        dim = len(target_stats[0]) if target_stats is not None else 2048
+        self.istats = InceptionStatistics(feature_fn=feature_fn, activation_dim=dim)
         self.eval_batch_size = eval_batch_size
         self.max_eval_count = max_eval_count
-        self.target_mean, self.target_var = get_precomputed(dataset, download_dir=precomputed_dir)
+        # missing local stats must not kill training before the first step —
+        # mirror eval.py's graceful per-metric skip instead of raising here
+        self._skip_reason = None
+        if target_stats is not None:
+            self.target_mean, self.target_var = target_stats
+        else:
+            try:
+                self.target_mean, self.target_var = get_precomputed(dataset, download_dir=precomputed_dir)
+            except FileNotFoundError as e:
+                self.target_mean = self.target_var = None
+                self._skip_reason = str(e)
         self._calc_fd = calc_fd
 
-    def eval(self, sample_fn):
+    def eval(self, sample_fn, logger=print):
+        if self._skip_reason is not None:
+            logger(f"FID skipped: {self._skip_reason}")
+            return {}
         self.istats.reset()
-        for _ in range(0, self.max_eval_count + self.eval_batch_size, self.eval_batch_size):
-            x = sample_fn(self.eval_batch_size, self.diffusion)
-            self.istats.update(np.asarray(x))
+        try:
+            for _ in range(0, self.max_eval_count + self.eval_batch_size, self.eval_batch_size):
+                x = sample_fn(self.eval_batch_size, self.diffusion)
+                self.istats.update(np.asarray(x))
+        except FileNotFoundError as e:  # lazy Inception weights absent on this box
+            self._skip_reason = str(e)
+            logger(f"FID skipped: {self._skip_reason}")
+            return {}
         gen_mean, gen_var = self.istats.get_statistics()
         return {"fid": self._calc_fd(gen_mean, gen_var, self.target_mean, self.target_var)}

@@ -1,24 +1,41 @@
 """Config/flag system — same three-level precedence semantics as the reference
 (CLI > experiment JSON > defaults.json): ``update_config`` (utils.py:42-84,
 including the ``logical_op="OR"`` store_true-flag rule) and recursive
-``fill_with_defaults`` (utils.py:193-201)."""
+``fill_with_defaults`` (utils.py:193-201). Behavior-compatible, own
+implementation (pinned by tests/test_config.py)."""
 
 from __future__ import annotations
 
 
+def _fmt_value(v) -> str:
+    if isinstance(v, dict):
+        return dict2str(v)
+    if isinstance(v, (list, tuple)):
+        return "_".join(str(u) for u in v)
+    if isinstance(v, float):
+        return f"{v:.0e}"
+    return str(v)
+
+
 def dict2str(d) -> str:
-    """Flatten a dict into an underscore-joined string (reference utils.py:13-25)."""
-    out = []
-    for k, v in d.items():
-        out.append(str(k))
-        if isinstance(v, (list, tuple)):
-            v = "_".join(map(str, v))
-        elif isinstance(v, float):
-            v = f"{v:.0e}"
-        elif isinstance(v, dict):
-            v = dict2str(v)
-        out.append(str(v))
-    return "_".join(out)
+    """Flatten a (possibly nested) dict into an underscore-joined run tag,
+    floats in exponent form (capability of reference utils.py:13-25)."""
+    return "_".join(f"{k}_{_fmt_value(v)}" for k, v in d.items())
+
+
+def _read(source, key, fallback):
+    """Dict-like containers (config dicts) read via .get; everything else
+    (argparse Namespace) via attribute access."""
+    if hasattr(source, "get"):
+        return source.get(key, fallback)
+    return getattr(source, key, fallback)
+
+
+def _write(target, key, value):
+    if hasattr(target, "__setitem__"):
+        target[key] = value
+    else:
+        setattr(target, key, value)
 
 
 def update_config(
@@ -29,54 +46,34 @@ def update_config(
     default=None,
     logical_op=None,
 ):
-    """CLI-over-config precedence with getattr/getitem polymorphism.
+    """Resolve one field with CLI-over-config precedence and write the winner
+    back into ``old_config``.
 
-    ``logical_op="OR"``: a False CLI store_true flag falls back to the config
-    value; ``"AND"``: a True flag falls back (reference utils.py:69-79).
+    The CLI value (``new_config.new_name``) wins unless it is None, in which
+    case the config value (``old_config.old_name``) stands. For booleans,
+    ``logical_op`` encodes how argparse store_true/store_false flags interact
+    with the config: ``"OR"`` means a False flag is "not given" (config wins;
+    the effective value is flag OR config), ``"AND"`` symmetrically for True.
     """
-
-    def safe_get(obj, name):
-        if hasattr(obj, "__getitem__"):
-            return obj.get(name, default)
-        if hasattr(obj, "__getattribute__"):
-            return getattr(obj, name, default)
-        raise NotImplementedError(obj.__class__)
-
-    def safe_set(obj, name, value):
-        if hasattr(obj, "__setitem__"):
-            obj[name] = value
-        elif hasattr(obj, "__getattribute__"):
-            setattr(obj, name, value)
+    cli_value = _read(new_config, new_name or old_name, default)
+    cli_wins = cli_value is not None
+    if cli_wins and logical_op is not None and isinstance(cli_value, bool):
+        if logical_op == "OR":
+            cli_wins = cli_value
+        elif logical_op == "AND":
+            cli_wins = not cli_value
         else:
-            raise NotImplementedError(obj.__class__)
-
-    if new_name is None:
-        new_name = old_name
-
-    try:
-        param = safe_get(new_config, new_name)
-        assert param is not None
-        if isinstance(param, bool) and logical_op is not None:
-            if logical_op == "OR":
-                assert param
-            elif logical_op == "AND":
-                assert not param
-            else:
-                raise NotImplementedError(logical_op)
-    except (KeyError, AttributeError, AssertionError):
-        param = safe_get(old_config, old_name)
-
-    safe_set(old_config, old_name, param)
-    return param
+            raise NotImplementedError(logical_op)
+    value = cli_value if cli_wins else _read(old_config, old_name, default)
+    _write(old_config, old_name, value)
+    return value
 
 
 def fill_with_defaults(config: dict, defaults: dict) -> None:
-    """Recursive None-aware deep-merge of defaults into config (utils.py:193-201)."""
-    for k, v in defaults.items():
-        if isinstance(v, dict):
-            if k not in config:
-                config[k] = dict()
-            fill_with_defaults(config[k], defaults[k])
-        else:
-            if k not in config or config[k] is None:
-                config[k] = v
+    """Deep-merge defaults into config in place; an explicit JSON ``null`` in
+    the experiment config counts as unset (capability of utils.py:193-201)."""
+    for key, default in defaults.items():
+        if isinstance(default, dict):
+            fill_with_defaults(config.setdefault(key, {}), default)
+        elif config.get(key) is None:
+            config[key] = default
