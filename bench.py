@@ -1,5 +1,6 @@
 """Headline benchmark: CIFAR-10 samples/sec/chip at 256-step DDIM, plus a
-training-throughput line (img/s/chip on the same flagship config).
+training-throughput line (img/s/chip on the same flagship config) and the
+celeba.json-scale (301M-param, 64x64) sampling/training lines.
 
 Runs the flagship conditional UNet (cifar10_cond.json shapes: hid=256,
 ch_mult [1,1,1], 3 res blocks, attn (F,T,T)) through the full jitted
@@ -27,6 +28,13 @@ import jax.numpy as jnp
 
 BASELINE_SAMPLES_PER_SEC = 0.83  # torch reference, A100 fp32 estimate (see docstring)
 BASELINE_TRAIN_IMG_PER_SEC = 71.0  # same estimate applied to the train step
+
+# celeba.json (301.38M params, 64x64): forward = 207.46 GFLOPs/image (XLA cost
+# analysis, scripts/celeba_probe_tpu.py). Same A100-fp32 estimate method:
+# sampling 207.46 GF x 256 steps = 53.1 TF/sample at 6.8 TF/s → 0.128/s;
+# training ~3x fwd = 622 GF/img → 10.9 img/s.
+BASELINE_CELEBA_SAMPLES_PER_SEC = 0.128
+BASELINE_CELEBA_TRAIN_IMG_PER_SEC = 10.9
 
 
 def _flagship(on_tpu: bool):
@@ -186,9 +194,136 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float,
     )
 
 
+def _celeba(on_tpu: bool):
+    """celeba.json shapes (reference configs/celeba.json): 301.38M params,
+    64x64, multitag CFG, 'both' head, head_dim=64 → padded sub-lane flash.
+    CPU smoke uses a structurally-identical miniature."""
+    from vdiff_tpu.diffusion import GaussianDiffusion
+    from vdiff_tpu.models.unet import UNet
+    from vdiff_tpu.ops.numerics import get_logsnr_schedule
+
+    def unet(remat):
+        if on_tpu:
+            return UNet(
+                in_channels=3, hid_channels=192, out_channels=6,
+                ch_multipliers=(1, 2, 3, 4), num_res_blocks=3,
+                apply_attn=(False, True, True, True), embedding_dim=768,
+                drop_rate=0.1, head_dim=64, num_classes=40, multitags=True,
+                use_flash=True, dtype=jnp.bfloat16, remat=remat,
+            )
+        return UNet(
+            in_channels=3, hid_channels=32, out_channels=6, ch_multipliers=(1, 2),
+            num_res_blocks=1, apply_attn=(False, True), drop_rate=0.1, head_dim=16,
+            num_classes=40, multitags=True, use_flash=False, remat=remat,
+        )
+
+    diffusion = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"),
+        sample_timesteps=256 if on_tpu else 2,
+        model_out_type="both", model_var_type="fixed_large",
+        reweight_type="snr_trunc", loss_type="mse", w_guide=0.0, p_uncond=0.1,
+    )
+    return unet, diffusion
+
+
+def bench_celeba_sampling(on_tpu: bool):
+    """256-step DDIM at the celeba.json shape — the reference's second
+    headline config (README.md:190-239). Params ride as a jit ARGUMENT: a
+    closed-over 301M tree embeds as constants and exceeds the axon tunnel's
+    remote_compile request limit (HTTP 413)."""
+    unet, diffusion = _celeba(on_tpu)
+    model = unet(remat=False)
+    # B=32 is the measured optimum (scripts/celeba_probe_tpu.py: 1.22
+    # samples/s/chip @ B=32 vs 1.169 @ B=64 — the batch sweep is monotone
+    # down here too)
+    B = 32 if on_tpu else 2
+    res = 64
+    rng = jax.random.key(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, res, res, 3)), jnp.zeros((1,)), jnp.zeros((1, 40)),
+    )["params"]
+    y = jnp.zeros((B, 40), jnp.float32)
+
+    @jax.jit
+    def sample(p, r):
+        def denoise(xt, t, y_):
+            return model.apply({"params": p}, xt, t, y_, train=False)
+        return diffusion.p_sample(denoise, (B, res, res, 3), r, label=y, use_ddim=True)
+
+    jax.device_get(sample(params, jax.random.key(1)))  # compile + warmup
+    n_runs = 2 if on_tpu else 1
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = sample(params, jax.random.key(2 + i))
+    jax.device_get(out)
+    dt = (time.perf_counter() - t0) / n_runs
+    value = round(B / dt / jax.device_count(), 3)
+    print(json.dumps({
+        "metric": "celeba_samples_per_sec_per_chip_ddim256",
+        "value": value, "unit": "samples/s/chip",
+        "vs_baseline": round(value / BASELINE_CELEBA_SAMPLES_PER_SEC, 2),
+    }), flush=True)
+    return params
+
+
+def bench_celeba_train(on_tpu: bool, params):
+    """celeba.json train step at B=32 with remat (the one-chip recipe proven
+    in RUNLOG_TPU.md). The TrainState is donated — input+output states of the
+    301M model are ~4.8 GB each and coexist without donation (OOM)."""
+    import functools
+
+    from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
+
+    unet, diffusion = _celeba(on_tpu)
+    model = unet(remat=True)
+    B = 32 if on_tpu else 2
+    res = 64
+    optimizer = make_optimizer(lr=3e-4, warmup=1000, grad_norm=1.0)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    step_fn = make_train_step(model, diffusion, optimizer, timesteps=0,
+                              num_accum=1, use_cfg=True, use_ema=True)
+    x = jax.random.uniform(jax.random.key(1), (B, res, res, 3), jnp.float32, -1, 1)
+    y = (jax.random.uniform(jax.random.key(2), (B, 40)) < 0.5).astype(jnp.float32)
+    n_steps = 8 if on_tpu else 2
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(st, r):
+        def body(s, k):
+            s, loss = step_fn(s, x, y, k)
+            return s, loss
+        return jax.lax.scan(body, st, jax.random.split(r, n_steps))
+
+    state, losses = scan_steps(state, jax.random.key(3))
+    jax.device_get(losses)
+    t0 = time.perf_counter()
+    state, losses = scan_steps(state, jax.random.key(4))
+    jax.device_get(losses)
+    dt = (time.perf_counter() - t0) / n_steps
+    value = round(B / dt / jax.device_count(), 1)
+    print(json.dumps({
+        "metric": "celeba_train_img_per_sec_per_chip_remat",
+        "value": value, "unit": "img/s/chip",
+        "vs_baseline": round(value / BASELINE_CELEBA_TRAIN_IMG_PER_SEC, 2),
+    }), flush=True)
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     bench_train(on_tpu)
+    # celeba lines are best-effort: a tunnel flake on the 301M compiles must
+    # not kill the cifar10 headline line (which has to print LAST)
+    try:
+        celeba_params = bench_celeba_sampling(on_tpu)
+        bench_celeba_train(on_tpu, celeba_params)
+        del celeba_params
+    except Exception as e:
+        print(json.dumps({"metric": "celeba_bench_error", "error": str(e)[:200]}),
+              flush=True)
     # CFG-guided sampling (w=0.1, the FID-3.12 condition): ~2x model FLOPs/step.
     # No measured reference CFG number exists, so the ratio is against the w=0
     # estimate halved (2x FLOPs) — reported as vs_baseline_est, not vs_baseline

@@ -10,7 +10,7 @@ Stages (each prints a line; rerun safe — retry through tunnel flakes):
 Run ON TPU: timeout 3000 python scripts/celeba_probe_tpu.py
 """
 
-import sys, os, time, json
+import sys, os, time, json, functools
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -85,15 +85,23 @@ def main():
     print(json.dumps({"stage": "short_sample", "compile_plus_run_s": round(time.time()-t0, 1),
                       "finite": bool(jnp.isfinite(out).all()), "shape": list(out.shape)}), flush=True)
 
-    # --- stage 3: 256-step DDIM timed -------------------------------------
-    f256 = jax.jit(lambda p, r: sample(diffusion, p, r))
-    jax.device_get(f256(params, jax.random.key(2)))  # compile + warmup
-    t0 = time.perf_counter()
-    out = f256(params, jax.random.key(3))
-    jax.device_get(out)
-    dt = time.perf_counter() - t0
-    print(json.dumps({"stage": "ddim256", "sec": round(dt, 2),
-                      "samples_per_sec_per_chip": round(B / dt / jax.device_count(), 3)}), flush=True)
+    # --- stage 3: 256-step DDIM timed (B=32 and B=64) ----------------------
+    for Bs in (B, 2 * B):
+        yS = jnp.zeros((Bs, 40), jnp.float32)
+
+        def sampleB(d, p, r, yS=yS, Bs=Bs):
+            return d.p_sample(lambda xt, t, y: fwd(p, xt, t, y),
+                              (Bs, 64, 64, 3), r, label=yS, use_ddim=True)
+
+        f256 = jax.jit(lambda p, r: sampleB(diffusion, p, r))
+        jax.device_get(f256(params, jax.random.key(2)))  # compile + warmup
+        t0 = time.perf_counter()
+        out = f256(params, jax.random.key(3))
+        jax.device_get(out)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"stage": f"ddim256_B{Bs}", "sec": round(dt, 2),
+                          "samples_per_sec_per_chip": round(Bs / dt / jax.device_count(), 3)}), flush=True)
+        del f256, out
 
     # --- stage 4: train step (remat) --------------------------------------
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
@@ -109,7 +117,9 @@ def main():
     yT = (jax.random.uniform(jax.random.key(5), (B, 40)) < 0.5).astype(jnp.float32)
 
     def scan_steps(n):
-        @jax.jit
+        # donate the 4.8 GB TrainState: without donation input+output states
+        # coexist and the 301M run OOMs (params+m+v+ema ≈ 4.8 GB each side)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def f(st, r):
             def body(s, k):
                 s, loss = step_fn(s, xT, yT, k)
