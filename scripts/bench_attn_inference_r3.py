@@ -45,6 +45,17 @@ def _kernel_bf16(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _kernel_nomax(q_ref, k_ref, v_ref, o_ref, *, scale):
+    """Direct softmax WITHOUT the max-subtract pass (saves one full (T,T)
+    reduce+sub). Safe only when logits are bounded well below f32 exp
+    overflow (~88) — true for GN-normalized sampler activations."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
 def views_call(kernel, qkv, bq):
     """Lane-offset views into the fused (B, T, 3NC) array (current layout)."""
     scale = 1.0 / (C ** 0.5)
@@ -77,6 +88,9 @@ def split_call(kernel, qkv, bq):
 
 
 def timed(op, x0):
+    # scalar-reduced output: device_get of the full (B, T, 3NC) result ships
+    # ~100 MB through the tunnel per call and dominates the measurement; the
+    # sum still forces the whole chained computation
     @jax.jit
     def run(x0):
         def body(carry, _):
@@ -84,7 +98,7 @@ def timed(op, x0):
             nxt = jnp.concatenate([out, out, out], axis=-1)
             return nxt, None
         out, _ = jax.lax.scan(body, x0, None, length=ITERS)
-        return out
+        return jnp.sum(out.astype(jnp.float32))
 
     jax.device_get(run(x0))
     ts = []
@@ -114,6 +128,8 @@ def main():
         "split bf16 bq=512": lambda x: split_call(_kernel_bf16, x, 512),
         "split bf16 bq=1024": lambda x: split_call(_kernel_bf16, x, 1024),
         "split f32  bq=1024": lambda x: split_call(_kernel_f32, x, 1024),
+        "views nomax bq=512": lambda x: views_call(_kernel_nomax, x, 512),
+        "views nomax bq=256": lambda x: views_call(_kernel_nomax, x, 256),
         "xla (einsum)": xla,
     }
     base = jax.jit(variants["dispatch (current)"])(qkv)

@@ -217,3 +217,24 @@ def test_celeba_config_param_count_parity():
     )["params"]
     n_flax = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     assert n_flax == n_torch, (n_flax, n_torch)  # 301.38M
+
+
+@pytest.mark.parametrize("mode", ["valid", "same"])
+@pytest.mark.parametrize("kernel_size,stride", [(3, 1), (3, 2), (5, 2), ((3, 5), (1, 2))])
+def test_pad_2d_parity(mode, kernel_size, stride):
+    """valid_pad_2d/same_pad_2d match the reference ValidPad2d/SamePad2d
+    (modules.py:147-181) on NHWC↔NCHW-transposed inputs."""
+    from tests.ref_loader import load
+    from vdiff_tpu.models.layers import same_pad_2d, valid_pad_2d
+
+    modules = load("modules")
+    cls = modules.ValidPad2d if mode == "valid" else modules.SamePad2d
+    fn = valid_pad_2d if mode == "valid" else same_pad_2d
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 13, 9, 4).astype(np.float32)  # odd sizes exercise padding
+    ref = cls(kernel_size, stride)(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = fn(jnp.asarray(x), kernel_size, stride)
+    np.testing.assert_array_equal(
+        np.asarray(got), ref.numpy().transpose(0, 2, 3, 1)
+    )
