@@ -83,7 +83,10 @@ def bench_train(on_tpu: bool):
 
     jax.config.update("jax_default_prng_impl", "rbg")  # train.py default
     model, diffusion = _flagship(on_tpu)
-    batch = 128 if on_tpu else 8
+    # B=192 is the measured throughput optimum (scripts/bench_train_r3.py:
+    # 1174 @ 192 vs 1151 @ 128 vs 1149 @ 256 with f32-mask dropout; the
+    # uint16 EfficientDropout stack lands ~1197 @ 192)
+    batch = 192 if on_tpu else 8
     optimizer = make_optimizer(lr=2e-4, warmup=5000, grad_norm=1.0)
     rng = jax.random.key(0)
     params = model.init(

@@ -238,3 +238,33 @@ def test_pad_2d_parity(mode, kernel_size, stride):
     np.testing.assert_array_equal(
         np.asarray(got), ref.numpy().transpose(0, 2, 3, 1)
     )
+
+
+def test_efficient_dropout_semantics():
+    """uint16-threshold dropout: exact inverse-keep scaling (E[out] == x),
+    realized drop rate within 2^-16 + sampling error of nominal, zero-rate
+    and deterministic modes are identity."""
+    from vdiff_tpu.models.layers import EfficientDropout
+
+    x = jnp.ones((64, 64), jnp.float32)
+    rate = 0.2
+    mod = EfficientDropout(rate, deterministic=False)
+    out = mod.apply({}, x, rngs={"dropout": jax.random.key(0)})
+    out = np.asarray(out)
+    kept = out != 0
+    # survivors are exactly x / keep_prob with keep_prob = 1 - round(r*2^16)/2^16
+    keep_prob = 1.0 - round(rate * 65536) / 65536
+    np.testing.assert_allclose(out[kept], 1.0 / keep_prob, rtol=1e-6)
+    # realized drop rate within 4 sigma of nominal
+    p_hat = 1.0 - kept.mean()
+    sigma = np.sqrt(rate * (1 - rate) / x.size)
+    assert abs(p_hat - rate) < 4 * sigma, (p_hat, rate)
+    # mean preservation
+    np.testing.assert_allclose(out.mean(), 1.0, atol=5 * sigma / keep_prob)
+    # identity modes
+    det = EfficientDropout(rate, deterministic=True).apply({}, x)
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(x))
+    zero = EfficientDropout(0.0, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.key(1)}
+    )
+    np.testing.assert_array_equal(np.asarray(zero), np.asarray(x))

@@ -22,6 +22,34 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+class EfficientDropout(nn.Module):
+    """Dropout from uint16 random bits (TPU-tuned ``nn.Dropout`` equivalent).
+
+    Keep iff ``bits >= round(rate * 2^16)`` and scale survivors by the exact
+    inverse of the realized keep probability, so E[out] == x exactly. The
+    realized drop rate differs from the nominal one by < 2^-16 (any
+    uniform-threshold dropout is quantized; f32's quantum is just smaller) —
+    statistically indistinguishable. Measured on v5e (scripts/
+    bench_train_r3b.py): halving the random-bit traffic vs the uniform-f32
+    mask is +1.8% flagship train throughput (1151 → 1172 img/s/chip at
+    B=128; +4% stacked with the B=192 optimum).
+    """
+
+    rate: float
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.deterministic or self.rate == 0.0:
+            return x
+        thresh = int(round(self.rate * 65536.0))
+        keep_prob = 1.0 - thresh / 65536.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        keep = bits >= jnp.uint16(thresh)
+        return jnp.where(keep, x * jnp.asarray(1.0 / keep_prob, x.dtype),
+                         jnp.zeros((), x.dtype))
+
+
 def lecun_trunc_normal(scale: float = 1.0):
     """LeCun-normal truncated initializer matching reference modules.py:25-38.
 

@@ -38,6 +38,7 @@ from .layers import (
     Conv1x1,
     Conv3x3,
     Dense,
+    EfficientDropout,
     ParamConv,
     avg_pool_2x,
     nearest_upsample,
@@ -236,7 +237,7 @@ class ResidualBlock(nn.Module):
             )
         h = norm2(h, film_shift=shift, film_scale=scale, apply_silu=True, fuse=fuse)
         if self.drop_rate > 0.0:
-            h = nn.Dropout(self.drop_rate, deterministic=not train)(h)
+            h = EfficientDropout(self.drop_rate, deterministic=not train)(h)
         h = conv2(h)
         return h + skip
 
