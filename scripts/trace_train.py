@@ -19,7 +19,7 @@ def main():
     from bench import _flagship
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
 
-    B = 128
+    B = 192
     print(f"backend: {jax.default_backend()}  B={B}", flush=True)
     model, diffusion = _flagship(on_tpu=True)
     optimizer = make_optimizer(lr=2e-4, warmup=5000, grad_norm=1.0)

@@ -62,3 +62,20 @@ def test_gn_vjp_bf16():
 
     g = jax.grad(loss)(xb)
     assert g.dtype == jnp.bfloat16 and np.all(np.isfinite(np.asarray(g, np.float32)))
+
+
+def test_gn_vjp_bf16_close_to_f32():
+    """The bf16 path stores xhat/dz at 2 bytes; its gradients must stay within
+    bf16 rounding of the f32 backward (the cotangent itself is bf16 under
+    mixed precision, so no information is lost beyond that rounding)."""
+    x, gamma, beta, shift, scale = _inputs(seed=3)
+    xb = x.astype(jnp.bfloat16)
+
+    def loss(fn_x, x):
+        y = _gn_film_silu_core(x, gamma, beta, shift, scale, 32, 1e-6, True)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+
+    g16 = np.asarray(jax.grad(lambda a: loss(None, a))(xb), np.float32)
+    g32 = np.asarray(jax.grad(lambda a: loss(None, a))(x), np.float32)
+    denom = np.abs(g32).max()
+    assert np.abs(g16 - g32).max() / denom < 0.05, np.abs(g16 - g32).max() / denom

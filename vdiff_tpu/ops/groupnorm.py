@@ -238,24 +238,32 @@ def _gn_core_bwd(num_groups, eps, apply_silu, res, g):
     f = (1.0 + film_scale.astype(jnp.float32))[:, None, None, :] if has_film else 1.0
     w = gamma[None, None, None, :] * f  # (B,1,1,C) or (1,1,1,C)
 
-    x32 = x.astype(jnp.float32)
-    xhat = (x32 - mean_c) * inv_c
+    # Full-size intermediates (xhat, dz) materialize in x's compute dtype:
+    # under bf16 mixed precision the backward's HBM-SOL fusions then stream
+    # 2-byte tensors instead of the 4-byte f32 temporaries autodiff leaves
+    # behind (profiled: f32[B,H,W,C] operands at 769 GiB/s dominated the
+    # wgrad-adjacent fusions). g itself arrives in bf16 there, so the f32
+    # materialization carried no extra information. Rowwise/statistics math
+    # stays f32; on f32 inputs (CPU tests) this path is bit-unchanged.
+    cdt = x.dtype
+    xhat = ((x.astype(jnp.float32) - mean_c) * inv_c).astype(cdt)
+    xhat32 = xhat.astype(jnp.float32)
 
-    g32 = g.astype(jnp.float32)
     if apply_silu:
         # recompute z from xhat (cheap FMA) for silu'
         s_off = beta[None, None, None, :] * f
         if film_shift is not None:
             s_off = s_off + film_shift.astype(jnp.float32)[:, None, None, :]
-        z = w * xhat + s_off
+        z = w * xhat32 + s_off
         sig = jax.nn.sigmoid(z)
-        dz = g32 * sig * (1.0 + z * (1.0 - sig))
+        dz = (g.astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))).astype(cdt)
     else:
-        dz = g32
+        dz = g.astype(cdt)
+    dz32 = dz.astype(jnp.float32)
 
-    # two per-(b,c) spatial reductions drive everything
-    R1 = jnp.sum(dz, axis=(1, 2))          # (B, C)
-    R2 = jnp.sum(dz * xhat, axis=(1, 2))   # (B, C)
+    # two per-(b,c) spatial reductions drive everything (f32 accumulation)
+    R1 = jnp.sum(dz32, axis=(1, 2))          # (B, C)
+    R2 = jnp.sum(dz32 * xhat32, axis=(1, 2))   # (B, C)
 
     w_bc = jnp.broadcast_to(w[:, 0, 0, :] if has_film else w[0, 0, 0, :][None], (B, C))
     m1 = jnp.sum((w_bc * R1).reshape(B, num_groups, cg), axis=2) / n  # (B, G)
@@ -263,7 +271,7 @@ def _gn_core_bwd(num_groups, eps, apply_silu, res, g):
     m1_c = jnp.repeat(m1, cg, axis=1)[:, None, None, :]
     m2_c = jnp.repeat(m2, cg, axis=1)[:, None, None, :]
 
-    dx = (inv_c * (w * dz - m1_c - xhat * m2_c)).astype(x.dtype)
+    dx = (inv_c * (w * dz32 - m1_c - xhat32 * m2_c)).astype(x.dtype)
 
     f_bc = (1.0 + film_scale.astype(jnp.float32)) if has_film else jnp.ones((1, C), jnp.float32)
     dgamma = jnp.sum(f_bc * R2, axis=0).astype(gamma.dtype)
