@@ -419,8 +419,30 @@ def spatial_attention_qkv(
     if use_flash and on_tpu and train and _flash_train_ok(T, Cp):
         return unfolded(flash_attention_trainable(*folded(pad=C != Cp)))
     if use_flash and on_tpu and not train and T % 128 == 0:
-        # sub-lane heads at inference: padded online/direct flash (memory-safe
-        # at any T, unlike the materializing XLA path)
+        # sub-lane heads at inference: NATIVE-width direct-softmax q-blocked
+        # kernel, no zero-padding. A block that spans the full (sub-lane) last
+        # dim is legal in Pallas, so q/k/v stay (BN, T, C) with C=64 — no
+        # padded copies materialize. Measured at the celeba level-1 shape
+        # (B=32, T=1024, N=6, C=64; scripts/bench_attn_celeba_r3.py): 1.48x
+        # over the padded online-softmax path (2547 vs 3764 us), which the
+        # celeba sampler trace showed eating 42% of its step.
+        bq = 512
+        while T % bq or bq * T * 4 + 4 * T * C * 4 > 12 * 1024 * 1024:
+            bq //= 2
+        if bq >= 128 or bq == T:
+            q, k, v = folded(pad=False)
+            scale_blk = 1.0 / math.sqrt(C)
+            spec_q = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+            spec_kv = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+            out = pl.pallas_call(
+                functools.partial(_attn_fwd_kernel_qblk, scale=scale_blk),
+                grid=(B * N, T // bq),
+                in_specs=[spec_q, spec_kv, spec_kv],
+                out_specs=spec_q,
+                out_shape=jax.ShapeDtypeStruct((B * N, T, C), qkv.dtype),
+            )(q, k, v)
+            return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
+        # fallback: padded online flash (memory-safe at any T)
         q, k, v = folded(pad=True)
         tok = lambda a: a.reshape(B * N, T, 1, Cp)
         return unfolded(flash_attention(tok(q), tok(k), tok(v)).reshape(B * N, T, Cp))
