@@ -362,8 +362,11 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 def _flash_train_ok(T: int, C: int) -> bool:
     """Small T: whole-(T,T) f32 tiles must fit VMEM alongside the operands.
     Large T: an adaptive q-block must exist (e.g. T=1024/C=256 → bq=512;
-    celeba's T=1024/C_pad=128 → bq=512)."""
-    if C % 128:
+    celeba's native T=1024/C=64 → bq=512). Sub-lane power-of-two head dims
+    (32/64) are legal unpadded — blocks span the full last dim — and measured
+    faster than the zero-padded form (scripts/bench_attn_celeba_train_r3.py:
+    6.94 vs 7.22 ms fwd+bwd at the celeba level-1 shape)."""
+    if C % 128 and C not in (32, 64):
         return False
     if T > _QBLK_THRESHOLD:
         return _pick_qblk(T, C) > 0
@@ -416,8 +419,11 @@ def spatial_attention_qkv(
     def unfolded(out):
         return out[..., :C].reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
 
-    if use_flash and on_tpu and train and _flash_train_ok(T, Cp):
-        return unfolded(flash_attention_trainable(*folded(pad=C != Cp)))
+    # training: native width when legal (C lane-aligned OR sub-lane 32/64 —
+    # blocks span the full last dim), zero-padded lane width otherwise
+    Cn = C if _flash_train_ok(T, C) else Cp
+    if use_flash and on_tpu and train and _flash_train_ok(T, Cn):
+        return unfolded(flash_attention_trainable(*folded(pad=Cn != C)))
     if use_flash and on_tpu and not train and T % 128 == 0:
         # sub-lane heads at inference: NATIVE-width direct-softmax q-blocked
         # kernel, no zero-padding. A block that spans the full (sub-lane) last
