@@ -1,7 +1,8 @@
 """CelebA-flagship-shape smoke on the real chip: one jitted train step
 (celeba.json model: 64x64, hid=192, ch_mult (1,2,3,4), head_dim=64 → padded
-sub-lane flash kernels; attention at levels 1-3, max T = 32·32 = 1024) + a
-short DDIM sample.
+sub-lane flash kernels; attention at levels 1-3, max T = 64·64 = 4096 at the
+up_1 resample block, which upsamples inside the ResidualBlock and THEN
+attends — reference unet.py:278,243) + a short DDIM sample.
 
 This script exists to prove the padded-head flash path keeps the 301M-param
 celeba training run on one chip (together with remat).

@@ -197,6 +197,21 @@ def test_flash_qkv_large_t_direct_softmax_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_pick_qblk_chip_proven_picks():
+    """Pins the q-block choices proven on the v5e. Regression for the sub-lane
+    VMEM undercount: at celeba's T=4096/C=64 up-resample attention (the
+    reference upsamples inside the up-level ResidualBlock and THEN attends),
+    bq=128 allocates 17.11 MB against the 16 MB scoped-vmem limit — Mosaic
+    keeps extra (bq, T) temporaries beyond the analytical model for sub-lane
+    last dims — while bq=64 compiles and runs."""
+    from vdiff_tpu.ops.attention import _flash_train_ok, _pick_qblk
+
+    assert _pick_qblk(4096, 64) == 64      # NOT 128: chip-measured scoped-vmem OOM
+    assert _pick_qblk(1024, 256) == 512    # flagship T=1024 training kernel
+    assert _pick_qblk(4096, 128) == 64     # padded celeba heads
+    assert _flash_train_ok(4096, 64)       # native sub-lane celeba path stays on
+
+
 def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
     """Sub-lane head dims (celeba head_dim=64 < 128 lanes) run the flash
     kernels on zero-padded heads with pre-scaled q — exact vs the XLA path,

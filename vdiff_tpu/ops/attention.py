@@ -248,12 +248,20 @@ _QBLK_INFER = 512  # inference q-block (fwd holds 1 (bq,T) tile)
 
 def _pick_qblk(T: int, C: int) -> int:
     """Largest training q-block whose backward working set (k/v f32 casts +
-    f32 dk/dv accumulators + 3 (bq, T) score tiles) fits VMEM; 0 = none."""
+    f32 dk/dv accumulators + 3 (bq, T) score tiles) fits VMEM; 0 = none.
+
+    Sub-lane C uses a tighter budget: the model undercounts there (Mosaic
+    keeps extra (bq, T) temporaries) — measured on chip at celeba's
+    T=4096/C=64 up-resample attention, where bq=128 allocates 17.11 MB
+    against the 16 MB scoped-vmem limit while bq=64 compiles and runs.
+    Lane-aligned budgets keep the chip-proven picks (T=1024/C=256 → 512,
+    padded T=4096/C=128 → 64) unchanged."""
+    budget = (8 if C < 128 else 12) * 1024 * 1024
     for bq in (512, 256, 128, 64, 32):
         if T % bq:
             continue
         vmem = 4 * T * C * 4 + 3 * bq * T * 4 + 3 * bq * C * 4
-        if vmem <= 12 * 1024 * 1024:
+        if vmem <= budget:
             return bq
     return 0
 
@@ -362,7 +370,8 @@ flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 def _flash_train_ok(T: int, C: int) -> bool:
     """Small T: whole-(T,T) f32 tiles must fit VMEM alongside the operands.
     Large T: an adaptive q-block must exist (e.g. T=1024/C=256 → bq=512;
-    celeba's native T=1024/C=64 → bq=512). Sub-lane power-of-two head dims
+    celeba's native T=4096/C=64 up-resample attention → bq=64). Sub-lane
+    power-of-two head dims
     (32/64) are legal unpadded — blocks span the full last dim — and measured
     faster than the zero-padded form (scripts/bench_attn_celeba_train_r3.py:
     6.94 vs 7.22 ms fwd+bwd at the celeba level-1 shape)."""
@@ -392,11 +401,14 @@ def spatial_attention_qkv(
     the head dim is lane-aligned; training uses the custom-VJP flash kernels
     (the f32 softmax chain is 20% of the train step through XLA autodiff).
 
-    Sub-lane head dims (e.g. celeba's head_dim=64) are zero-padded to the
-    128-lane width with q pre-scaled by √(C_pad/C) so the kernels' 1/√C_pad
-    nets to the true 1/√C — exact math that keeps celeba's attention (T up to
-    32·32 = 1024 at levels 1-3 of the 64×64 input, 16 sub-lane heads) on the
-    Pallas kernels instead of the XLA fallback."""
+    Sub-lane head dims (e.g. celeba's head_dim=64) run the kernels natively
+    when legal (power-of-two 32/64 — a block may span the full sub-lane last
+    dim) and are otherwise zero-padded to the 128-lane width with q pre-scaled
+    by √(C_pad/C) so the kernels' 1/√C_pad nets to the true 1/√C. celeba's T
+    reaches 64·64 = 4096: the reference's up-level resample block
+    (unet.py:278,243) upsamples INSIDE the ResidualBlock and then attends, so
+    `up_1_us` at the 64×64 config attends post-upsample — the XLA fallback
+    would materialize (4096, 4096) logits there."""
     B, T, threeNC = qkv.shape
     N = num_heads
     C = threeNC // (3 * N)
