@@ -236,9 +236,9 @@ def bench_celeba_sampling(on_tpu: bool):
     remote_compile request limit (HTTP 413)."""
     unet, diffusion = _celeba(on_tpu)
     model = unet(remat=False)
-    # B=32 is the measured optimum (scripts/celeba_probe_tpu.py: 1.22
-    # samples/s/chip @ B=32 vs 1.169 @ B=64 — the batch sweep is monotone
-    # down here too)
+    # B=32 is the measured optimum with the native-width sub-lane kernels
+    # (scripts/celeba_probe_r3b.py: 1.674 samples/s/chip @ B=32 vs 1.588
+    # @ B=64 — the batch sweep is monotone down here too)
     B = 32 if on_tpu else 2
     res = 64
     rng = jax.random.key(0)
@@ -272,8 +272,10 @@ def bench_celeba_sampling(on_tpu: bool):
 
 def bench_celeba_train(on_tpu: bool, params):
     """celeba.json train step at B=32 with remat (the one-chip recipe proven
-    in RUNLOG_TPU.md). The TrainState is donated — input+output states of the
-    301M model are ~4.8 GB each and coexist without donation (OOM)."""
+    in RUNLOG_TPU.md; B=64 does not fit even with remat —
+    scripts/celeba_probe_r3b.py). The TrainState is donated — input+output
+    states of the 301M model are ~4.8 GB each and coexist without donation
+    (OOM)."""
     import functools
 
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
