@@ -191,6 +191,8 @@ def main(args):
         eval_intv=args.eval_intv,
         ema_decay=train.ema_decay,
         seed=train.seed,
+        fsdp=args.fsdp,
+        fsdp_size=args.fsdp_size,
     )
     evaluator = Evaluator(dataset=dataset) if args.eval else None
 
@@ -264,6 +266,14 @@ if __name__ == "__main__":
     parser.add_argument("--allow-fp16", action="store_true", help="(parity) see --allow-bf16")
     parser.add_argument("--allow-bf16", action="store_true", help="bfloat16 compute in the UNet")
     parser.add_argument("--use-xformers", action="store_true", help="use the fused/Pallas attention path")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="shard params/Adam moments/EMA over the data axis (ZeRO-3; "
+                             "state memory ~/n_devices — pairs with --remat for the "
+                             "celeba-scale model on small slices)")
+    parser.add_argument("--fsdp-size", type=int, default=0,
+                        help="hybrid HSDP: shard the state only within groups of this "
+                             "many devices (a 2-D (data, fsdp) mesh keeps param "
+                             "all-gathers inside an ICI neighborhood); implies --fsdp")
     parser.add_argument("--remat", action="store_true",
                         help="gradient checkpointing per UNet block (activation memory ~/depth, "
                              "+~1/3 recompute FLOPs; needed for the celeba-scale model on one chip)")

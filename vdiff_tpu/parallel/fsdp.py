@@ -1,0 +1,94 @@
+"""FSDP / ZeRO-3-style state sharding — scaling beyond the reference's DDP.
+
+The reference's only distribution strategy replicates the full model per GPU
+(reference train.py:129-156, DistributedDataParallel), so its per-device memory
+is bounded below by params + Adam moments + EMA — ~4.8 GB for the 301M celeba
+model before a single activation. The TPU-native answer is not a torch-FSDP
+translation (no wrapper modules, no explicit gather/scatter hooks): it is a
+*sharding annotation*. Every leaf of the TrainState (params, both Adam moments,
+EMA shadow) is stored sharded over the existing 1-D ``data`` mesh axis; the jit
+SPMD partitioner then inserts the all-gathers where the full weight is consumed
+(fwd/bwd matmuls/convs) and keeps the optimizer + EMA update local to each
+shard, with gradients arriving via reduce-scatter instead of all-reduce. Same
+step semantics as DDP — the state trajectory matches the replicated run to
+float tolerance (test_fsdp.py) — at ~1/N the state memory per chip.
+
+Leaf placement rule: shard the largest dimension divisible by the axis size
+(ties → the trailing dim: O of HWIO conv kernels / the output-features dim of
+(i, o) dense kernels, keeping shards contiguous in the minor dims); leaves too
+small to matter (< ``min_size`` elements — biases, norm scales, step counters)
+stay replicated so the partitioner doesn't chase sub-lane collectives.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, FSDP_AXIS
+
+# Leaves under 32k elements stay replicated: a (512,) bias shard of 64 elements
+# is half a lane — the gather latency outweighs the bytes saved.
+MIN_SHARD_SIZE = 2**15
+
+
+def resolve_fsdp_axis(mesh: Mesh) -> str:
+    """The mesh axis FSDP state sharding lives on: the dedicated ``fsdp`` axis
+    of a hybrid (data, fsdp) mesh when present, else the 1-D ``data`` axis
+    (full ZeRO-3 over all devices)."""
+    return FSDP_AXIS if FSDP_AXIS in mesh.axis_names else DATA_AXIS
+
+
+def leaf_partition_spec(shape, axis_size: int, axis_name: str = DATA_AXIS,
+                        min_size: int = MIN_SHARD_SIZE) -> P:
+    """PartitionSpec for one state leaf: largest axis-divisible dim sharded."""
+    if math.prod(shape) < min_size:
+        return P()
+    best_dim = -1
+    best_extent = 0
+    for d, n in enumerate(shape):
+        if n % axis_size == 0 and n >= best_extent:
+            best_dim, best_extent = d, n
+    if best_dim < 0:  # nothing divides the axis — keep replicated
+        return P()
+    spec = [None] * len(shape)
+    spec[best_dim] = axis_name
+    return P(*spec)
+
+
+def state_shardings(mesh: Mesh, state, axis_name: str = None,
+                    min_size: int = MIN_SHARD_SIZE):
+    """A TrainState-shaped pytree of NamedShardings for FSDP placement.
+
+    Applied uniformly by shape, so the Adam mu/nu moments and the EMA shadow
+    (same shapes as params) land on the same shards as their parameters — the
+    whole optimizer update stays shard-local. ``axis_name`` defaults to the
+    mesh's fsdp axis when one exists (hybrid mesh), else the data axis.
+    """
+    if axis_name is None:
+        axis_name = resolve_fsdp_axis(mesh)
+    axis_size = mesh.shape[axis_name]
+
+    def spec(leaf):
+        return NamedSharding(
+            mesh, leaf_partition_spec(np.shape(leaf), axis_size, axis_name, min_size)
+        )
+
+    return jax.tree.map(spec, state)
+
+
+def shard_state(mesh: Mesh, state, axis_name: str = None):
+    """Place a (host or replicated) TrainState sharded over the mesh."""
+    return jax.device_put(state, state_shardings(mesh, state, axis_name))
+
+
+def state_bytes_per_device(state) -> int:
+    """Max over devices of locally-stored state bytes (for memory assertions)."""
+    per_dev: dict = {}
+    for leaf in jax.tree.leaves(state):
+        for shard in leaf.addressable_shards:
+            per_dev[shard.device] = per_dev.get(shard.device, 0) + shard.data.nbytes
+    return max(per_dev.values()) if per_dev else 0

@@ -22,18 +22,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
 
 
-def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over all local+global devices."""
+def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS,
+                fsdp_size: int = 1) -> Mesh:
+    """Data-parallel mesh over all local+global devices.
+
+    ``fsdp_size > 1`` builds a 2-D (data, fsdp) hybrid mesh instead: the batch
+    still splits over every device, but FSDP state sharding is confined to the
+    size-``fsdp_size`` minor axis — on a pod slice that keeps the per-step
+    param all-gathers inside a small ICI neighborhood while gradients cross the
+    ``data`` axis once per step (HSDP).
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    devices = np.asarray(devices)
+    if fsdp_size and fsdp_size > 1:
+        if devices.size % fsdp_size:
+            raise ValueError(f"fsdp_size {fsdp_size} must divide device count {devices.size}")
+        return Mesh(devices.reshape(-1, fsdp_size), (axis_name, FSDP_AXIS))
+    return Mesh(devices, (axis_name,))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over EVERY mesh axis; replicate the rest.
+
+    Under a hybrid (data, fsdp) mesh both axes split the batch — they differ
+    only in where the state lives, not in how data parallelism divides work.
+    """
+    return NamedSharding(mesh, P(tuple(mesh.axis_names), *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

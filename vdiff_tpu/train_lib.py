@@ -41,7 +41,6 @@ import optax
 from .parallel import (
     batch_sharding,
     create_mesh,
-    replicate_tree,
     replicated,
     sync_global_devices,
 )
@@ -294,6 +293,8 @@ class Trainer:
         mesh=None,
         sample_use_flash: bool = True,
         dtype=None,
+        fsdp: bool = False,
+        fsdp_size: int = 0,
     ):
         self.model = model
         self.diffusion = diffusion
@@ -313,7 +314,12 @@ class Trainer:
         self.num_save_images = num_save_images
         self.seed = seed
 
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # fsdp_size > 1 builds a hybrid (data, fsdp) mesh: batch over all
+        # devices, state sharded only within size-fsdp_size ICI neighborhoods
+        self.fsdp = bool(fsdp) or fsdp_size > 1
+        if mesh is None:
+            mesh = create_mesh(fsdp_size=fsdp_size if self.fsdp else 1)
+        self.mesh = mesh
         self.is_leader = jax.process_index() == 0
         self.world_size = jax.process_count()
 
@@ -345,7 +351,16 @@ class Trainer:
             # distinct buffers: aliasing params breaks jit donation
             ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
         )
-        self.state = replicate_tree(self.mesh, state)
+        # state placement: replicated (DDP semantics) or FSDP-sharded over the
+        # same 'data' axis (ZeRO-3 — params/moments/EMA at 1/N memory per chip,
+        # jit inserts the use-site all-gathers + grad reduce-scatter)
+        if self.fsdp:
+            from .parallel.fsdp import state_shardings
+
+            self._state_shardings = state_shardings(self.mesh, state)
+        else:
+            self._state_shardings = replicated(self.mesh)
+        self.state = jax.device_put(state, self._state_shardings)
 
         train_step = make_train_step(
             model,
@@ -360,8 +375,8 @@ class Trainer:
         rep = replicated(self.mesh)
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, batch_sharding(self.mesh, 4), None, None),
-            out_shardings=(rep, rep),
+            in_shardings=(self._state_shardings, batch_sharding(self.mesh, 4), None, None),
+            out_shardings=(self._state_shardings, rep),
             donate_argnums=(0,),
         )
         self._sample_jit = {}
@@ -453,18 +468,25 @@ class Trainer:
             if shard:
                 from jax.sharding import PartitionSpec as P
 
-                y_spec = P("data") if has_label else P()
+                # the batch splits over EVERY mesh axis (under a hybrid
+                # (data, fsdp) mesh both axes are data-parallel for sampling)
+                axes = tuple(self.mesh.axis_names)
+                y_spec = P(axes) if has_label else P()
 
                 def shard_fn(params, rng, y):
-                    idx = jax.lax.axis_index("data")
+                    # linearized device index, major-to-minor in mesh axis
+                    # order — matches the P(axes) batch linearization
+                    idx = jnp.int32(0)
+                    for a in axes:
+                        idx = idx * self.mesh.shape[a] + jax.lax.axis_index(a)
                     r = jax.random.fold_in(rng, idx)
                     x = diffusion.p_sample(
                         partial(denoise, params), (Bp // n_dev, H, W, C), r,
                         label=y if has_label else None, use_ddim=use_ddim,
                     )
                     # replicate the result so every process can read the full
-                    # batch (a P("data") output is not addressable cross-host)
-                    return jax.lax.all_gather(x, "data", axis=0, tiled=True)
+                    # batch (a P(axes) output is not addressable cross-host)
+                    return jax.lax.all_gather(x, axes, axis=0, tiled=True)
 
                 # check_vma=False: the tiled all_gather output IS replicated,
                 # but shard_map's static replication checker can't infer it
@@ -584,16 +606,21 @@ class Trainer:
 
     def save_checkpoint(self, epoch: int, extra=None):
         assert self.ckpt_manager is not None
-        host_state = jax.device_get(self.state)
+        # FSDP state is not fully addressable per host under multi-process —
+        # hand Orbax the sharded global arrays (it saves collectively) instead
+        # of a device_get'd host copy
+        host_state = self.state if self.fsdp else jax.device_get(self.state)
         return self.ckpt_manager.save(host_state, epoch, self.epochs, extra=extra)
 
     def load_checkpoint(self, ckpt_path=None, ckpt_dir=None):
         if self.ckpt_manager is None:
             assert ckpt_dir is not None
             self.ckpt_manager = CheckpointManager(ckpt_dir, self.max_ckpts_kept)
-        host_state = jax.device_get(self.state)
-        new_state, epoch = self.ckpt_manager.restore(host_state, ckpt_path)
-        self.state = replicate_tree(self.mesh, new_state)
+        # under FSDP restore against the live sharded arrays so each shard loads
+        # straight to its device (no host round-trip)
+        target = self.state if self.fsdp else jax.device_get(self.state)
+        new_state, epoch = self.ckpt_manager.restore(target, ckpt_path)
+        self.state = jax.device_put(new_state, self._state_shardings)
         self.start_epoch = epoch
         # restore the host-side step mirror so RNG folding stays deterministic
         # across resume (determinism derives from (seed, step))
