@@ -118,7 +118,23 @@ def main(args):
     res = info["resolution"][0]
     shape = (args.batch_size, res, res, info["channels"])
 
+    # model-parallel serving (beyond the reference's single-device forward):
+    # --tp stores every kernel sharded on its output-features dim across all
+    # devices; --spatial-shard height-shards the activations (halo-exchange
+    # convs). Both degenerate to the plain path on one device.
+    sp_mesh = None
+    if (args.tp or args.spatial_shard) and len(jax.devices()) > 1:
+        from vdiff_tpu.parallel.tp import create_tp_mesh, tp_shard_params
+
+        sp_mesh = create_tp_mesh()
+        if args.tp:
+            params = tp_shard_params(sp_mesh, params)
+
     def denoise_fn(x_t, t_, y_):
+        if sp_mesh is not None and args.spatial_shard:
+            from vdiff_tpu.parallel.spatial import spatial_constraint
+
+            x_t = spatial_constraint(x_t, sp_mesh)
         return model.apply({"params": params}, x_t, t_, y_, train=False)
 
     if args.progressive:
@@ -174,6 +190,13 @@ if __name__ == "__main__":
     parser.add_argument("--uncond", action="store_true")
     parser.add_argument("--w-guide", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--tp", action="store_true",
+                        help="tensor-parallel serving: kernels sharded on output "
+                             "features over all devices, batch replicated")
+    parser.add_argument("--spatial-shard", action="store_true",
+                        help="height-shard activations across devices (XLA halo-"
+                             "exchange convs) — for resolutions that exceed one "
+                             "chip's HBM")
     parser.add_argument("--allow-bf16", action="store_true",
                         help="bfloat16 UNet activations (+42%% sampling throughput on TPU)")
     parser.add_argument("--progressive", action="store_true",
