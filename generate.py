@@ -99,7 +99,10 @@ def main(args):
         model_out_type=config["diffusion"]["model_out_type"],
         num_classes=info.get("num_classes", 0) if use_cfg else 0,
         multitags=info.get("multitags", False) if use_cfg else False,
-        use_flash=jax.default_backend() == "tpu",
+        # Pallas custom calls have no SPMD partitioning rule — under model-
+        # parallel serving (--tp/--spatial-shard) use the XLA attention path,
+        # which GSPMD shards like any other einsum
+        use_flash=jax.default_backend() == "tpu" and not (args.tp or args.spatial_shard),
         # bf16 activations: +42% sampling throughput on v5e (README table);
         # off by default to keep f32 parity with the reference sampler
         dtype=jnp.bfloat16 if args.allow_bf16 else None,
