@@ -10,7 +10,9 @@ Functional core, thin imperative shell:
   clipping, the AdamW+warmup update, and the EMA update. Under a data-parallel
   mesh the batch is sharded on the 'data' axis and params are replicated, so
   XLA inserts the gradient all-reduce over ICI automatically (replacing DDP's
-  bucket all-reduce, train.py:148).
+  bucket all-reduce, train.py:148). With ``fsdp=True`` the whole TrainState is
+  instead STORED sharded (ZeRO-3; see parallel/fsdp.py and PARALLEL.md) — the
+  same step function, different in/out shardings.
 * EMA (reference utils.py:123-190) is a pure pytree update with the warmup
   decay rule min(decay, (1+n)/(10+n)); no weakrefs/param-swapping — sampling
   simply closes over ``state.ema_params``.
