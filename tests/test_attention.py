@@ -212,6 +212,49 @@ def test_pick_qblk_chip_proven_picks():
     assert _flash_train_ok(4096, 64)       # native sub-lane celeba path stays on
 
 
+def test_pick_qblk_fwd_picks_and_terminates():
+    """Inference q-block picks proven on chip (scripts/celeba_probe_r3b.py),
+    and the 0-means-fallback contract: when the bq-independent k/v VMEM term
+    alone exceeds the budget (huge T·C) the picker returns 0 so the caller
+    takes the padded online-flash fallback — regression for the former
+    unbounded halving loop (bq→0 → ZeroDivisionError at exactly the large-T
+    shapes the fallback exists for)."""
+    from vdiff_tpu.ops.attention import _pick_qblk_fwd
+
+    assert _pick_qblk_fwd(1024, 64) == 512   # celeba level-1 inference
+    # up-resample attention (T=64·64): 8 MB q-tile + 4 MB k/v casts lands
+    # exactly ON the 12 MB budget — chip-proven at bq=512
+    assert _pick_qblk_fwd(4096, 64) == 512
+    assert _pick_qblk_fwd(16384, 64) == 0    # k/v casts alone: 16.8 MB > 12 MB
+    assert _pick_qblk_fwd(8192, 96) == 0
+
+
+def test_spatial_attention_qkv_nonpow2_sublane_falls_back_padded(monkeypatch):
+    """A non-power-of-two sub-lane head dim (e.g. 96) is illegal for native
+    Pallas blocks (same rule _flash_train_ok enforces) — inference must take
+    the zero-padded online-flash path, not build (·, ·, 96) BlockSpecs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops import attention as A
+
+    B, T, N, C = 1, 128, 1, 96
+    rng = np.random.RandomState(43)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    called = []
+    orig = A._qblk_fwd_call
+    monkeypatch.setattr(A, "_qblk_fwd_call",
+                        lambda *a, **k2: called.append(1) or orig(*a, **k2))
+    with pltpu.force_tpu_interpret_mode():
+        out = A.spatial_attention_qkv(qkv, N, use_flash=True, train=False)
+    assert not called, "non-pow2 sub-lane width must not take the native q-block path"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
     """Sub-lane head dims (celeba head_dim=64 < 128 lanes) run the flash
     kernels on zero-padded heads with pre-scaled q — exact vs the XLA path,

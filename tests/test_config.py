@@ -17,6 +17,16 @@ def test_fill_with_defaults_reference_example():
     assert config == {"a": 2, "b": {"c": 1, "d": 4, "e": 5}, "f": 6}
 
 
+def test_fill_with_defaults_null_section():
+    """An explicit JSON null for a whole dict-valued section counts as unset
+    (regression: setdefault returned the existing None and the recursion
+    crashed on None.get)."""
+    config = {"train": None}
+    defaults = {"train": {"lr": 1e-4, "epochs": 10}}
+    fill_with_defaults(config, defaults)
+    assert config == {"train": {"lr": 1e-4, "epochs": 10}}
+
+
 def test_update_config_cli_precedence():
     old = {"lr": 1e-4}
     args = types.SimpleNamespace(lr=3e-4)

@@ -268,3 +268,9 @@ def test_efficient_dropout_semantics():
         {}, x, rngs={"dropout": jax.random.key(1)}
     )
     np.testing.assert_array_equal(np.asarray(zero), np.asarray(x))
+    # rate=1 drops everything (nn.Dropout semantics; regression: uint16
+    # threshold wrapped to 0 / inverse-keep divided by zero)
+    ones = EfficientDropout(1.0, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.key(2)}
+    )
+    np.testing.assert_array_equal(np.asarray(ones), np.zeros_like(np.asarray(x)))

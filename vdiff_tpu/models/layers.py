@@ -43,6 +43,8 @@ class EfficientDropout(nn.Module):
         if self.deterministic or self.rate == 0.0:
             return x
         thresh = int(round(self.rate * 65536.0))
+        if thresh >= 65536:  # rate ≈ 1: drop everything (nn.Dropout semantics;
+            return jnp.zeros_like(x)  # uint16(65536) would wrap to keep-all)
         keep_prob = 1.0 - thresh / 65536.0
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
         keep = bits >= jnp.uint16(thresh)

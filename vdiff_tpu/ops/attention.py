@@ -266,6 +266,38 @@ def _pick_qblk(T: int, C: int) -> int:
     return 0
 
 
+def _pick_qblk_fwd(T: int, C: int) -> int:
+    """Largest INFERENCE q-block (the fwd working set is just one (bq, T)
+    score tile + the k/v casts — no dk/dv accumulators, so the budget is
+    looser than training ``_pick_qblk``); 0 = none fits and the caller must
+    take the memory-safe padded online-flash fallback. bq=512 at celeba's
+    T=4096/C=64 up-resample attention is chip-proven — exactly on the 12 MB
+    budget (scripts/celeba_probe_r3b.py). The fixed candidate floor guarantees
+    termination — a bq-independent k/v term over budget (huge T·C) returns 0
+    instead of looping to a ZeroDivisionError."""
+    for bq in (512, 256, 128):
+        if T % bq == 0 and bq * T * 4 + 4 * T * C * 4 <= 12 * 1024 * 1024:
+            return bq
+    return 0
+
+
+def _qblk_fwd_call(q, k, v, bq: int, interpret: bool = False):
+    """The q-blocked direct-softmax forward pallas_call, shared by the
+    training fwd (``_flash_trainable_fwd``) and the native sub-lane inference
+    path (``spatial_attention_qkv``) so their block plumbing cannot drift."""
+    BN, T, C = q.shape
+    spec_q = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    spec_kv = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel_qblk, scale=1.0 / math.sqrt(C)),
+        grid=(BN, T // bq),
+        in_specs=[spec_q, spec_kv, spec_kv],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((BN, T, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
 def _heads_per_program(BN: int, T: int, C: int) -> int:
     """Largest divisor of BN whose working set (3 f32 (T,T) tiles + operand
     casts per head) stays within ~8 MB — per-program launch overhead dwarfs
@@ -298,19 +330,7 @@ def _flash_trainable_fwd(q, k, v, interpret):
                 f"flash_attention_trainable: no q-block fits VMEM for T={T}, C={C}; "
                 "gate calls with _flash_train_ok or use the XLA path"
             )
-        out = pl.pallas_call(
-            functools.partial(_attn_fwd_kernel_qblk, scale=scale),
-            grid=(BN, T // bq),
-            in_specs=[
-                pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((BN, T, C), q.dtype),
-            interpret=interpret,
-        )(q, k, v)
-        return out, (q, k, v)
+        return _qblk_fwd_call(q, k, v, bq, interpret), (q, k, v)
     G = _heads_per_program(BN, T, C)
     fold = lambda a: a.reshape(BN // G, G, T, C)
     out = pl.pallas_call(
@@ -439,28 +459,18 @@ def spatial_attention_qkv(
     if use_flash and on_tpu and not train and T % 128 == 0:
         # sub-lane heads at inference: NATIVE-width direct-softmax q-blocked
         # kernel, no zero-padding. A block that spans the full (sub-lane) last
-        # dim is legal in Pallas, so q/k/v stay (BN, T, C) with C=64 — no
-        # padded copies materialize. Measured at the celeba level-1 shape
+        # dim is legal in Pallas for power-of-two widths (32/64 — same rule
+        # the training gate enforces), so q/k/v stay (BN, T, C) with C=64 —
+        # no padded copies materialize. Measured at the celeba level-1 shape
         # (B=32, T=1024, N=6, C=64; scripts/bench_attn_celeba_r3.py): 1.48x
         # over the padded online-softmax path (2547 vs 3764 us), which the
         # celeba sampler trace showed eating 42% of its step.
-        bq = 512
-        while T % bq or bq * T * 4 + 4 * T * C * 4 > 12 * 1024 * 1024:
-            bq //= 2
-        if bq >= 128 or bq == T:
+        bq = _pick_qblk_fwd(T, C) if C in (32, 64) else 0
+        if bq:
             q, k, v = folded(pad=False)
-            scale_blk = 1.0 / math.sqrt(C)
-            spec_q = pl.BlockSpec((1, bq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
-            spec_kv = pl.BlockSpec((1, T, C), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
-            out = pl.pallas_call(
-                functools.partial(_attn_fwd_kernel_qblk, scale=scale_blk),
-                grid=(B * N, T // bq),
-                in_specs=[spec_q, spec_kv, spec_kv],
-                out_specs=spec_q,
-                out_shape=jax.ShapeDtypeStruct((B * N, T, C), qkv.dtype),
-            )(q, k, v)
+            out = _qblk_fwd_call(q, k, v, bq)
             return out.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
-        # fallback: padded online flash (memory-safe at any T)
+        # fallback: padded online flash (memory-safe at any T, any width)
         q, k, v = folded(pad=True)
         tok = lambda a: a.reshape(B * N, T, 1, Cp)
         return unfolded(flash_attention(tok(q), tok(k), tok(v)).reshape(B * N, T, Cp))

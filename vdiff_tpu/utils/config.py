@@ -74,6 +74,10 @@ def fill_with_defaults(config: dict, defaults: dict) -> None:
     the experiment config counts as unset (capability of utils.py:193-201)."""
     for key, default in defaults.items():
         if isinstance(default, dict):
-            fill_with_defaults(config.setdefault(key, {}), default)
+            # an explicit null must be replaced, not recursed into
+            # (setdefault would hand the recursion a None)
+            if config.get(key) is None:
+                config[key] = {}
+            fill_with_defaults(config[key], default)
         elif config.get(key) is None:
             config[key] = default
