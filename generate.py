@@ -121,17 +121,33 @@ def main(args):
     res = info["resolution"][0]
     shape = (args.batch_size, res, res, info["channels"])
 
-    # model-parallel serving (beyond the reference's single-device forward):
-    # --tp stores every kernel sharded on its output-features dim across all
-    # devices; --spatial-shard height-shards the activations (halo-exchange
-    # convs). Both degenerate to the plain path on one device.
+    # multi-device serving (beyond the reference's single-device forward):
+    # --dp shards the batch over all devices (embarrassingly-parallel bulk
+    # sampling, linear throughput in chips); --tp stores every kernel sharded
+    # on its output-features dim; --spatial-shard height-shards the
+    # activations (halo-exchange convs). All degenerate to the plain path on
+    # one device.
+    if args.dp and (args.tp or args.spatial_shard):
+        raise SystemExit("--dp shards the batch; it cannot combine with the "
+                         "model-parallel modes --tp/--spatial-shard")
     sp_mesh = None
+    dp_sharding = None
     if (args.tp or args.spatial_shard) and len(jax.devices()) > 1:
         from vdiff_tpu.parallel.tp import create_tp_mesh, tp_shard_params
 
         sp_mesh = create_tp_mesh()
         if args.tp:
             params = tp_shard_params(sp_mesh, params)
+    elif args.dp and len(jax.devices()) > 1:
+        from vdiff_tpu.parallel import batch_sharding, create_mesh
+
+        n_dev = len(jax.devices())
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--dp needs batch-size divisible by {n_dev} devices")
+        if args.progressive:
+            raise SystemExit("--dp does not support --progressive (snapshot "
+                             "axis leads the output); drop one of the flags")
+        dp_sharding = batch_sharding(create_mesh(), 4)
 
     def denoise_fn(x_t, t_, y_):
         if sp_mesh is not None and args.spatial_shard:
@@ -152,10 +168,15 @@ def main(args):
 
     else:
 
-        @jax.jit
-        def sample_batch(rng, labels):
+        def _sample(rng, labels):
             return diffusion.p_sample(denoise_fn, shape, rng, label=labels,
                                       use_ddim=args.use_ddim)
+
+        # under --dp the constrained output sharding back-propagates through
+        # the scan: every per-step activation splits on the batch axis
+        # (jit(out_shardings=None) would mean "replicate", not "unspecified")
+        dp_kw = {} if dp_sharding is None else {"out_shardings": dp_sharding}
+        sample_batch = jax.jit(_sample, **dp_kw)
 
     next_labels = make_label_stream(info, use_cfg, args.uncond, data_root, args.seed)
     num_batches = math.ceil(args.total_size / args.batch_size)
@@ -193,6 +214,9 @@ if __name__ == "__main__":
     parser.add_argument("--uncond", action="store_true")
     parser.add_argument("--w-guide", type=float, default=0.1)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--dp", action="store_true",
+                        help="shard each sampling batch over all devices "
+                             "(linear bulk-sampling throughput in chips)")
     parser.add_argument("--tp", action="store_true",
                         help="tensor-parallel serving: kernels sharded on output "
                              "features over all devices, batch replicated")
