@@ -78,6 +78,36 @@ def test_generate_from_orbax_checkpoint(tmp_path):
         pngs += [f for f in files if f.endswith(".png")]
     assert len(pngs) == 2
 
+    # --dp: batch sharded over the 8-device mesh through the same CLI
+    dp_dir = str(tmp_path / "out_dp")
+    _run_cli(
+        "generate.py",
+        [
+            "--config-path", CONFIG,
+            "--ckpt-path", ckpt_path,
+            "--save-dir", dp_dir,
+            "--total-size", "8",
+            "--batch-size", "8",
+            "--sample-timesteps", "2",
+            "--use-ema", "--use-ddim", "--dp",
+        ],
+    )
+    dp_pngs = []
+    for root, _, files in os.walk(dp_dir):
+        dp_pngs += [f for f in files if f.endswith(".png")]
+    assert len(dp_pngs) == 8
+
+    # conflicting / non-divisible flags exit with a message, not a crash
+    for bad in (["--dp", "--tp"], ["--dp", "--batch-size", "3", "--total-size", "3"]):
+        with pytest.raises(SystemExit):
+            _run_cli(
+                "generate.py",
+                ["--config-path", CONFIG, "--ckpt-path", ckpt_path,
+                 "--save-dir", str(tmp_path / "x"), "--use-ddim",
+                 "--sample-timesteps", "2", "--total-size", "2",
+                 "--batch-size", "2"] + bad,
+            )
+
 
 def test_eval_nll_passes_labels_for_conditional_ckpt(tmp_path, monkeypatch):
     """A conditional checkpoint must evaluate the conditional VLB: dataset
