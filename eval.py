@@ -23,13 +23,14 @@ def iter_image_batches(folder, total_size, batch_size, rng):
         yield folder.load_batch(indices[s : s + batch_size])
 
 
-def compute_fid(batches, dataset, precomputed_dir):
+def compute_fid(batches, dataset, precomputed_dir, mesh=None):
     from tqdm import tqdm
 
     from vdiff_tpu.metrics import InceptionStatistics, calc_fd, get_precomputed
 
     istats = InceptionStatistics(
-        input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5
+        input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5,
+        mesh=mesh,
     )
     true_mean, true_var = get_precomputed(dataset, download_dir=precomputed_dir)
     for x in tqdm(batches, desc="Computing Inception statistics"):
@@ -38,7 +39,7 @@ def compute_fid(batches, dataset, precomputed_dir):
     return calc_fd(gen_mean, gen_var, true_mean, true_var)
 
 
-def compute_is(batches, splits):
+def compute_is(batches, splits, mesh=None):
     """Inception Score over the generated images (the reference publishes IS
     numbers, README.md:118, but ships no IS code — see metrics/inception_score)."""
     from tqdm import tqdm
@@ -48,6 +49,7 @@ def compute_is(batches, splits):
     stats = InceptionScoreStatistics(
         input_transform=lambda im: (im.astype(np.float32) - 127.5) / 127.5,
         splits=splits,
+        mesh=mesh,
     )
     for x in tqdm(batches, desc="Computing Inception-Score statistics"):
         stats(x)
@@ -77,7 +79,7 @@ def load_true_manifold(builder, dataset, root, precomputed_dir):
     return manifold
 
 
-def compute_pr(folder, args, dataset, root):
+def compute_pr(folder, args, dataset, root, mesh=None):
     from functools import partial
 
     from vdiff_tpu.metrics.precision_recall import ManifoldBuilder, calc_pr
@@ -89,19 +91,23 @@ def compute_pr(folder, args, dataset, root):
         row_batch_size=args.row_batch_size,
         col_batch_size=args.col_batch_size,
         nhood_size=args.nhood_size,
+        mesh=mesh,
     )
     true_manifold = load_true_manifold(builder, dataset, root, args.precomputed_dir)
     gen_manifold = builder(data=folder).manifold
     precision, recall = calc_pr(
         gen_manifold, true_manifold,
         row_batch_size=args.row_batch_size, col_batch_size=args.col_batch_size,
+        mesh=mesh,
     )
     decimal_places = math.ceil(math.log(args.eval_total_size, 10))
     return f"{precision:.{decimal_places}f}/{recall:.{decimal_places}f}"
 
 
-def compute_nll(args, dataset, root):
-    """Test-set bits/dim via the jitted per-timestep VLB scan."""
+def compute_nll(args, dataset, root, mesh=None):
+    """Test-set bits/dim via the jitted per-timestep VLB scan. With a mesh,
+    each batch is sharded over the data axis and jit partitions the
+    denoiser forwards inside the scan across devices."""
     import jax
     import jax.numpy as jnp
     from tqdm import tqdm
@@ -155,6 +161,11 @@ def compute_nll(args, dataset, root):
     if n <= 0:
         return "no samples to evaluate (empty split or --eval-total-size 0)"
     B = min(B, n)  # small datasets: one full-sized batch at most
+    if mesh is not None and B % mesh.devices.size:
+        raise SystemExit(
+            f"--dp needs the effective nll batch ({B}) divisible by "
+            f"{mesh.devices.size} devices"
+        )
     key = jax.random.key(args.seed)
     totals = []
     for s in tqdm(range(0, n - B + 1, B), desc="Computing VLB"):
@@ -162,6 +173,10 @@ def compute_nll(args, dataset, root):
         raw = ds.load_batch(idx) if hasattr(ds, "load_batch") else ds.images[idx]
         x = jnp.asarray(normalize_flip(np.ascontiguousarray(raw)))  # uint8 → [-1, 1] f32
         y = jnp.asarray(np.asarray(ds.targets)[idx], jnp.float32) if use_cfg else None
+        if mesh is not None:
+            from vdiff_tpu.parallel import shard_batch
+
+            x, y = shard_batch(mesh, x, y)
         totals.append(np.asarray(bpd_batch(x, y, jax.random.fold_in(key, s))))
     used = len(totals) * B
     if used < n:  # static shapes: the sub-batch tail is dropped, say so
@@ -179,9 +194,15 @@ def main(args):
 
     img_dir = os.path.join(args.eval_dir, args.folder_name) if args.folder_name else args.eval_dir
 
+    # --dp: metric batches (feature nets, distance tiles, the VLB scan)
+    # sharded over all devices; None on one device → unchanged loops
+    from vdiff_tpu.metrics.device_apply import resolve_eval_mesh
+
+    mesh = resolve_eval_mesh(getattr(args, "dp", False))
+
     for metric in sorted(set(args.metrics)):
         try:
-            result = _compute_metric(metric, args, dataset, root, img_dir)
+            result = _compute_metric(metric, args, dataset, root, img_dir, mesh)
         except FileNotFoundError as e:
             # metric weights/statistics are local files here (no egress);
             # missing ones skip the metric instead of killing the run
@@ -193,24 +214,24 @@ def main(args):
         print(f"{metric.upper()}: {result}")
 
 
-def _compute_metric(metric, args, dataset, root, img_dir):
+def _compute_metric(metric, args, dataset, root, img_dir, mesh=None):
     from vdiff_tpu.data import ImageFolder
 
     if metric == "nll":
-        return compute_nll(args, dataset, root)
+        return compute_nll(args, dataset, root, mesh=mesh)
     if metric not in ("fid", "is", "pr"):
         return None
     folder = ImageFolder(img_dir)
     if len(folder) == 0:
         raise FileNotFoundError(f"no images found under '{img_dir}'")
     if metric == "pr":
-        return compute_pr(folder, args, dataset, root)
+        return compute_pr(folder, args, dataset, root, mesh=mesh)
     batches = iter_image_batches(
         folder, args.eval_total_size, args.eval_batch_size, np.random
     )
     if metric == "fid":
-        return compute_fid(batches, dataset, args.precomputed_dir)
-    return compute_is(batches, args.is_splits)
+        return compute_fid(batches, dataset, args.precomputed_dir, mesh=mesh)
+    return compute_is(batches, args.is_splits, mesh=mesh)
 
 
 if __name__ == "__main__":
@@ -239,5 +260,8 @@ if __name__ == "__main__":
     parser.add_argument("--config-path", default="", type=str, help="experiment config (nll only)")
     parser.add_argument("--ckpt-path", default="", type=str, help="checkpoint (nll only)")
     parser.add_argument("--use-ema", action="store_true", help="EMA weights for nll")
+    parser.add_argument("--dp", action="store_true",
+                        help="shard metric batches (feature nets, distance tiles, "
+                             "the nll VLB scan) over all devices")
 
     main(parser.parse_args())

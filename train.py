@@ -194,7 +194,7 @@ def main(args):
         fsdp=args.fsdp,
         fsdp_size=args.fsdp_size,
     )
-    evaluator = Evaluator(dataset=dataset) if args.eval else None
+    evaluator = Evaluator(dataset=dataset, mesh=trainer.mesh) if args.eval else None
 
     # elastic relaunch: resume is forced on under distributed (reference
     # train.py:214-224)

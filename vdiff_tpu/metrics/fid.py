@@ -52,7 +52,8 @@ class InceptionStatistics:
 
     ``feature_fn`` maps a uint8/float image batch (N, H, W, C) to (N, D)
     activations; defaults to the Flax FID-InceptionV3 pool3 features.
-    ``input_transform`` mirrors the reference hook (eval.py:82).
+    ``input_transform`` mirrors the reference hook (eval.py:82). ``mesh``
+    shards the default extractor's batches over the data axis (eval.py --dp).
     """
 
     def __init__(
@@ -60,10 +61,12 @@ class InceptionStatistics:
         feature_fn: Optional[Callable] = None,
         input_transform: Callable = lambda x: x,
         activation_dim: int = 2048,
+        mesh=None,
     ):
         self.input_transform = input_transform
         self.activation_dim = activation_dim
         self._feature_fn = feature_fn
+        self._mesh = mesh
         self.reset()
 
     @property
@@ -71,7 +74,7 @@ class InceptionStatistics:
         if self._feature_fn is None:
             from .inception import load_fid_inception
 
-            self._feature_fn = load_fid_inception()
+            self._feature_fn = load_fid_inception(mesh=self._mesh)
         return self._feature_fn
 
     def update(self, x: np.ndarray):

@@ -280,7 +280,8 @@ def convert_fid_weights(torch_state_dict, include_head: bool = False) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def load_is_inception(weights_path: Optional[str] = None, batch_size: int = 128):
+def load_is_inception(weights_path: Optional[str] = None, batch_size: int = 128,
+                      mesh=None):
     """Returns prob_fn: uint8/float (N, H, W, C) images → (N, 1008) softmax
     probabilities of the release net's TF-compatible fc head — the marginal
     the standard Inception-Score protocol is computed over (torch-fidelity
@@ -306,15 +307,14 @@ def load_is_inception(weights_path: Optional[str] = None, batch_size: int = 128)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     def prob_fn(x):
+        from .device_apply import apply_batched
+
         x = np.asarray(x)
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 127.5 - 1.0
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, axis=-1)
-        outs = []
-        for s in range(0, len(x), batch_size):
-            outs.append(np.asarray(_probs(jnp.asarray(x[s : s + batch_size]))))
-        return np.concatenate(outs)
+        return apply_batched(_probs, x, batch_size, mesh=mesh)
 
     return prob_fn
 
@@ -327,12 +327,14 @@ def find_fid_weights() -> Optional[str]:
     return None
 
 
-def load_fid_inception(weights_path: Optional[str] = None, batch_size: int = 128):
+def load_fid_inception(weights_path: Optional[str] = None, batch_size: int = 128,
+                       mesh=None):
     """Returns feature_fn: uint8/float (N, H, W, C) images → (N, 2048) f32.
 
     Input convention matches the reference metric stack: values are mapped to
     [-1, 1] by the caller's input_transform (eval.py:82) or assumed already
-    normalized; grayscale is tiled to 3 channels.
+    normalized; grayscale is tiled to 3 channels. ``mesh`` shards each batch
+    over the data axis (eval.py --dp).
     """
     weights_path = weights_path or find_fid_weights()
     if weights_path is None:
@@ -352,14 +354,13 @@ def load_fid_inception(weights_path: Optional[str] = None, batch_size: int = 128
         return model.apply(variables, x)[0][:, 0, 0, :]
 
     def feature_fn(x):
+        from .device_apply import apply_batched
+
         x = np.asarray(x)
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 127.5 - 1.0
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, axis=-1)
-        outs = []
-        for s in range(0, len(x), batch_size):
-            outs.append(np.asarray(_features(jnp.asarray(x[s : s + batch_size]))))
-        return np.concatenate(outs)
+        return apply_batched(_features, x, batch_size, mesh=mesh)
 
     return feature_fn

@@ -33,10 +33,12 @@ class InceptionScoreStatistics:
         input_transform: Callable = lambda x: x,
         splits: int = 10,
         num_classes: int = 1008,
+        mesh=None,
     ):
         self.input_transform = input_transform
         self.splits = splits
         self._prob_fn = prob_fn
+        self._mesh = mesh
         self.sum_probs = np.zeros((splits, num_classes), np.float64)
         self.sum_plogp = np.zeros((splits,), np.float64)
         self.count = np.zeros((splits,), np.int64)
@@ -47,7 +49,7 @@ class InceptionScoreStatistics:
         if self._prob_fn is None:
             from .inception import load_is_inception
 
-            self._prob_fn = load_is_inception()
+            self._prob_fn = load_is_inception(mesh=self._mesh)
         return self._prob_fn
 
     def update(self, x: np.ndarray):

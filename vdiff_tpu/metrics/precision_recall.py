@@ -35,7 +35,27 @@ def _sq_dists(a, b):
     return jnp.maximum(d2, 0.0)
 
 
-def compute_distance(row_features, col_features, row_batch_size=10000, col_batch_size=10000):
+def _sq_dists_np(ri, cj, mesh=None) -> np.ndarray:
+    """One distance tile on device. With a mesh, the row block is edge-padded
+    to a device multiple and sharded over the batch axis while the column
+    block replicates — jit partitions the MXU matmul across chips and the
+    host gathers the (rows, cols) tile (eval.py --dp)."""
+    if mesh is None:
+        return np.asarray(_sq_dists(jnp.asarray(ri), jnp.asarray(cj)))
+    from ..parallel import batch_sharding, replicated
+
+    ri = np.asarray(ri)
+    n = len(ri)
+    pad = (-n) % mesh.devices.size
+    if pad:
+        ri = np.concatenate([ri, np.repeat(ri[-1:], pad, axis=0)])
+    a = jax.device_put(ri, batch_sharding(mesh, 2))
+    b = jax.device_put(np.asarray(cj), replicated(mesh))
+    return np.asarray(_sq_dists(a, b))[:n]
+
+
+def compute_distance(row_features, col_features, row_batch_size=10000, col_batch_size=10000,
+                     mesh=None):
     """Blocked full distance matrix (host-assembled, device-computed)."""
     m = len(row_features)
     n = len(col_features)
@@ -45,22 +65,22 @@ def compute_distance(row_features, col_features, row_batch_size=10000, col_batch
         for j in range(0, n, col_batch_size):
             cj = np.asarray(col_features[j : j + col_batch_size])
             out[i : i + row_batch_size, j : j + col_batch_size] = np.sqrt(
-                np.asarray(_sq_dists(jnp.asarray(ri), jnp.asarray(cj)))
+                _sq_dists_np(ri, cj, mesh=mesh)
             )
     return out
 
 
-def _kth_radii(features: np.ndarray, k: int, row_batch_size: int, col_batch_size: int):
+def _kth_radii(features: np.ndarray, k: int, row_batch_size: int, col_batch_size: int,
+               mesh=None):
     """k-th nearest-neighbour distance per point (self excluded via k+1)."""
     n = len(features)
     kth = np.empty((n,), np.float32)
     for i in range(0, n, row_batch_size):
-        ri = jnp.asarray(features[i : i + row_batch_size])
+        ri = features[i : i + row_batch_size]
         # running top-(k+1) smallest distances across column blocks
-        best = np.full((ri.shape[0], k + 1), np.inf, np.float32)
+        best = np.full((len(ri), k + 1), np.inf, np.float32)
         for j in range(0, n, col_batch_size):
-            cj = jnp.asarray(features[j : j + col_batch_size])
-            d2 = np.asarray(_sq_dists(ri, cj))
+            d2 = _sq_dists_np(ri, features[j : j + col_batch_size], mesh=mesh)
             merged = np.concatenate([best, d2], axis=1)
             best = np.partition(merged, k, axis=1)[:, : k + 1]
         kth[i : i + row_batch_size] = np.sqrt(np.sort(best, axis=1)[:, k])
@@ -82,13 +102,14 @@ class ManifoldBuilder:
         row_batch_size: int = 10000,
         col_batch_size: int = 10000,
         random_state: int = 1234,
+        mesh=None,
         **_ignored,
     ):
         if features is None:
             if feature_fn is None:
                 from .vgg import load_vgg_features
 
-                feature_fn = load_vgg_features()
+                feature_fn = load_vgg_features(mesh=mesh)
             n = len(data)
             idx = np.arange(n)
             if n > max_sample_size:
@@ -104,7 +125,8 @@ class ManifoldBuilder:
             features = np.concatenate(feats)
         self.features = features
         self.kth = _kth_radii(
-            features.astype(np.float32), nhood_size, row_batch_size, col_batch_size
+            features.astype(np.float32), nhood_size, row_batch_size, col_batch_size,
+            mesh=mesh,
         )
 
     @staticmethod
@@ -123,7 +145,7 @@ class ManifoldBuilder:
         np.savez(path, features=self.features, kth=self.kth)
 
 
-def calc_pr(manifold_1: Manifold, manifold_2: Manifold, row_batch_size=10000, col_batch_size=10000, **_ignored):
+def calc_pr(manifold_1: Manifold, manifold_2: Manifold, row_batch_size=10000, col_batch_size=10000, mesh=None, **_ignored):
     """precision = frac of gen features within any real k-NN ball; recall
     symmetric (reference calc_pr, precision_recall.py:177-206).
 
@@ -136,11 +158,10 @@ def calc_pr(manifold_1: Manifold, manifold_2: Manifold, row_batch_size=10000, co
         pf = probe.features.astype(np.float32)
         rf = ref.features.astype(np.float32)
         for i in range(0, len(pf), row_batch_size):
-            ri = jnp.asarray(pf[i : i + row_batch_size])
-            inside = np.zeros((ri.shape[0],), bool)
+            ri = pf[i : i + row_batch_size]
+            inside = np.zeros((len(ri),), bool)
             for j in range(0, len(rf), col_batch_size):
-                cj = jnp.asarray(rf[j : j + col_batch_size])
-                d2 = np.asarray(_sq_dists(ri, cj))
+                d2 = _sq_dists_np(ri, rf[j : j + col_batch_size], mesh=mesh)
                 inside |= (d2 <= (ref.kth[j : j + col_batch_size] ** 2)[None, :]).any(axis=1)
             hits[i : i + row_batch_size] = inside
         return hits.mean()

@@ -100,8 +100,10 @@ def find_vgg_weights() -> Optional[str]:
     return None
 
 
-def load_vgg_features(weights_path: Optional[str] = None, batch_size: int = 64):
-    """Returns feature_fn: (N, H, W, C) uint8/float images → (N, 4096) f32."""
+def load_vgg_features(weights_path: Optional[str] = None, batch_size: int = 64,
+                      mesh=None):
+    """Returns feature_fn: (N, H, W, C) uint8/float images → (N, 4096) f32.
+    ``mesh`` shards each batch over the data axis (eval.py --dp)."""
     weights_path = weights_path or find_vgg_weights()
     if weights_path is None:
         raise FileNotFoundError(
@@ -126,14 +128,13 @@ def load_vgg_features(weights_path: Optional[str] = None, batch_size: int = 64):
         return model.apply(variables, x - mean)
 
     def feature_fn(x):
+        from .device_apply import apply_batched
+
         x = np.asarray(x)
         if x.dtype != np.float32:
             x = x.astype(np.float32)
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, axis=-1)
-        outs = []
-        for s in range(0, len(x), batch_size):
-            outs.append(np.asarray(_features(jnp.asarray(x[s : s + batch_size]))))
-        return np.concatenate(outs)
+        return apply_batched(_features, x, batch_size, mesh=mesh)
 
     return feature_fn

@@ -634,12 +634,25 @@ class Evaluator:
     clean signature the reference intended: sample_fn(batch_size) -> images."""
 
     def __init__(self, dataset: str, diffusion=None, eval_batch_size=256, max_eval_count=10000,
-                 precomputed_dir="precomputed", feature_fn=None, target_stats=None):
+                 precomputed_dir="precomputed", feature_fn=None, target_stats=None,
+                 mesh=None):
         from .metrics.fid import InceptionStatistics, get_precomputed, calc_fd
 
         self.diffusion = diffusion
         dim = len(target_stats[0]) if target_stats is not None else 2048
-        self.istats = InceptionStatistics(feature_fn=feature_fn, activation_dim=dim)
+        # the training mesh: Inception batches shard over the same devices the
+        # sampler just used. Every host sees the full gathered sample batch,
+        # so multi-process drops to this host's addressable devices (the
+        # metric pass is replicated across hosts either way).
+        if mesh is not None:
+            import jax
+
+            if jax.process_count() > 1:
+                from .parallel import create_mesh
+
+                mesh = create_mesh(jax.local_devices())
+        self.istats = InceptionStatistics(feature_fn=feature_fn, activation_dim=dim,
+                                          mesh=mesh)
         self.eval_batch_size = eval_batch_size
         self.max_eval_count = max_eval_count
         # missing local stats must not kill training before the first step —
