@@ -278,3 +278,48 @@ def test_is_converter_head_roundtrip_from_manifest():
     )
     for got, exp in zip(jax.tree.leaves(variables["params"]), jax.tree.leaves(ref["params"])):
         assert got.shape == exp.shape
+
+
+def test_path_based_fid_cli_surface(tmp_path):
+    """The reference retains a standalone path-based FID entry point
+    (fid_score.py:319-419): dirs and npz stat files are interchangeable
+    inputs, and stats can be exported for reuse."""
+    from PIL import Image
+
+    from vdiff_tpu.metrics.fid import (
+        calculate_fid_given_paths,
+        compute_statistics_of_path,
+    )
+
+    rs = np.random.RandomState(0)
+    dirs = {}
+    for name, n, shift in (("a", 12, 0), ("b", 10, 60)):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(n):
+            im = rs.randint(shift, 196 + shift, size=(32, 32, 3)).astype(np.uint8)
+            Image.fromarray(im).save(d / f"{i}.png")
+        dirs[name] = str(d)
+
+    w = rs.rand(32 * 32 * 3, 6).astype(np.float64) / 1000
+
+    def feature_fn(x):
+        return np.asarray(x, np.float64).reshape(len(x), -1) @ w
+
+    fid_ab = calculate_fid_given_paths([dirs["a"], dirs["b"]], batch_size=5,
+                                       feature_fn=feature_fn, dims=6)
+    fid_aa = calculate_fid_given_paths([dirs["a"], dirs["a"]], batch_size=5,
+                                       feature_fn=feature_fn, dims=6)
+    assert np.isfinite(fid_ab) and fid_ab > 1e-3
+    assert abs(fid_aa) < 1e-8
+
+    # an exported npz is interchangeable with its source directory
+    mu, sigma = compute_statistics_of_path(dirs["a"], feature_fn, batch_size=5, dims=6)
+    npz = str(tmp_path / "stats_a.npz")
+    np.savez(npz, mu=mu, sigma=sigma)
+    fid_npz = calculate_fid_given_paths([npz, dirs["b"]], batch_size=5,
+                                        feature_fn=feature_fn, dims=6)
+    assert np.isclose(fid_npz, fid_ab, rtol=1e-9)
+
+    with pytest.raises(RuntimeError):
+        calculate_fid_given_paths([dirs["a"], str(tmp_path / "missing")])

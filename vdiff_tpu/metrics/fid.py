@@ -130,3 +130,72 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
 
 def calc_fd(mean1, var1, mean2, var2, eps=1e-6):
     return calculate_frechet_distance(mean1, var1, mean2, var2, eps)
+
+
+def compute_statistics_of_path(path, feature_fn=None, batch_size=50, mesh=None,
+                               dims=2048):
+    """(mu, sigma) for a path: an ``.npz`` stats file (keys mu/sigma) loads
+    directly; an image directory streams through the Inception features
+    (reference fid_score.py:344-356). ``dims`` is the feature width (the
+    reference CLI's --dims; custom ``feature_fn`` widths included)."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            return f["mu"][:], f["sigma"][:]
+    from ..data import ImageFolder
+
+    folder = ImageFolder(path)
+    if len(folder) == 0:
+        raise FileNotFoundError(f"no images found under '{path}'")
+    istats = InceptionStatistics(feature_fn=feature_fn, mesh=mesh, activation_dim=dims)
+    for s in range(0, len(folder), batch_size):
+        istats(folder.load_batch(np.arange(s, min(s + batch_size, len(folder)))))
+    return istats.get_statistics()
+
+
+def calculate_fid_given_paths(paths, batch_size=50, feature_fn=None, mesh=None,
+                              dims=2048):
+    """FID between two paths (each an image dir or a stats npz) — the
+    reference's standalone path-based entry point (fid_score.py:359-376)."""
+    for p in paths:
+        if not os.path.exists(p):
+            raise RuntimeError(f"Invalid path: {p}")
+    m1, s1 = compute_statistics_of_path(paths[0], feature_fn, batch_size, mesh, dims)
+    m2, s2 = compute_statistics_of_path(paths[1], feature_fn, batch_size, mesh, dims)
+    return calculate_frechet_distance(m1, s1, m2, s2)
+
+
+def main():
+    """``python -m vdiff_tpu.metrics.fid path1 path2`` — path-based FID
+    (reference fid_score.py:378-419), plus ``--save-stats`` to write path1's
+    statistics to the path2 npz (so users can build their own reference
+    stats instead of downloading TTUR's)."""
+    from argparse import ArgumentParser
+
+    parser = ArgumentParser(description=main.__doc__)
+    parser.add_argument("path", type=str, nargs=2,
+                        help="image directories or .npz statistic files")
+    parser.add_argument("--batch-size", type=int, default=50)
+    parser.add_argument("--dp", action="store_true",
+                        help="shard Inception batches over all devices")
+    parser.add_argument("--save-stats", action="store_true",
+                        help="compute stats of path[0] and write them to the "
+                             "path[1] npz instead of computing a FID")
+    args = parser.parse_args()
+
+    from .device_apply import resolve_eval_mesh
+
+    mesh = resolve_eval_mesh(args.dp)
+    try:
+        if args.save_stats:
+            mu, sigma = compute_statistics_of_path(args.path[0], batch_size=args.batch_size,
+                                                   mesh=mesh)
+            np.savez(args.path[1], mu=mu, sigma=sigma)
+            print(f"saved statistics for '{args.path[0]}' to '{args.path[1]}'")
+        else:
+            print("FID: ", calculate_fid_given_paths(args.path, args.batch_size, mesh=mesh))
+    except FileNotFoundError as e:  # weights/images are local files here
+        raise SystemExit(f"FID skipped: {e}")
+
+
+if __name__ == "__main__":
+    main()
