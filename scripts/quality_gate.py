@@ -72,6 +72,8 @@ def main():
     p.add_argument("--skip-train", action="store_true", help="reuse the newest existing run")
     p.add_argument("--ckpt-path", default="", help="explicit checkpoint (implies --skip-train)")
     p.add_argument("--use-ema", action="store_true", default=True)
+    p.add_argument("--dp", action="store_true",
+                   help="shard bulk sampling and the metric batches over all devices")
     args = p.parse_args()
 
     exp_dir = os.path.join(args.work_dir, "exps")
@@ -100,6 +102,8 @@ def main():
     ]
     if args.use_ema:
         gen_args.append("--use-ema")
+    if args.dp:
+        gen_args.append("--dp")
     run_stage("generate", gen_args)
 
     # generate.py nests images under save_dir/<config>_<suffix>/; find them
@@ -121,6 +125,8 @@ def main():
     ]
     if args.use_ema and "nll" in args.metrics:
         eval_args.append("--use-ema")
+    if args.dp:
+        eval_args.append("--dp")
     run_stage("eval", eval_args)
 
     print(json.dumps({"quality_gate": "ok", "checkpoint": ckpt, "images": img_root}))
