@@ -174,9 +174,16 @@ def compute_nll(args, dataset, root, mesh=None):
         x = jnp.asarray(normalize_flip(np.ascontiguousarray(raw)))  # uint8 → [-1, 1] f32
         y = jnp.asarray(np.asarray(ds.targets)[idx], jnp.float32) if use_cfg else None
         if mesh is not None:
-            from vdiff_tpu.parallel import shard_batch
+            # every host loads the full eval batch and the mesh is host-local
+            # under multi-process (resolve_eval_mesh), so a plain device_put
+            # with the batch sharding is right in both cases — shard_batch's
+            # process_count()>1 branch expects a GLOBAL mesh and loader-sharded
+            # per-host data, neither of which holds here
+            from vdiff_tpu.parallel import batch_sharding
 
-            x, y = shard_batch(mesh, x, y)
+            x = jax.device_put(x, batch_sharding(mesh, x.ndim))
+            if y is not None:
+                y = jax.device_put(y, batch_sharding(mesh, y.ndim))
         totals.append(np.asarray(bpd_batch(x, y, jax.random.fold_in(key, s))))
     used = len(totals) * B
     if used < n:  # static shapes: the sub-batch tail is dropped, say so

@@ -27,10 +27,15 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLATFORM = ""  # set from --platform in main()
 
 
 def run_stage(name, argv, env=None):
     print(f"\n=== {name}: {' '.join(argv)}", flush=True)
+    env = dict(env or os.environ)
+    if PLATFORM:
+        # survives sitecustomize JAX_PLATFORMS clobbering (vdiff_tpu/__init__)
+        env["VDIFF_JAX_PLATFORM"] = PLATFORM
     proc = subprocess.run([sys.executable] + argv, cwd=REPO, env=env)
     if proc.returncode != 0:
         print(f"quality gate FAILED at stage '{name}' (exit {proc.returncode})")
@@ -39,19 +44,26 @@ def run_stage(name, argv, env=None):
 
 def latest_ckpt(exp_root):
     """Newest run dir's newest checkpoint under exps/dpm_<name>/<timestamp>/ckpts."""
-    runs = sorted(
+    runs = [
         os.path.join(r, d)
         for r in [exp_root]
         for d in (os.listdir(r) if os.path.isdir(r) else [])
-    )
+    ]
     if not runs:
         raise FileNotFoundError(f"no runs under {exp_root}")
-    ckpt_dir = os.path.join(runs[-1], "ckpts")
-    cands = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_"))
+    # newest run by mtime (name sort would misorder non-ISO timestamps)
+    ckpt_dir = os.path.join(max(runs, key=os.path.getmtime), "ckpts")
+    cands = [d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_")]
     if not cands:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    last = [c for c in cands if c == "ckpt_last"]
-    return os.path.join(ckpt_dir, last[0] if last else cands[-1])
+
+    # numeric epoch order (ckpt_10 > ckpt_9); ckpt_last/latest outrank all —
+    # same key as CheckpointManager.latest_path
+    def key(d):
+        tag = d.split("_", 1)[1]
+        return (1, 0) if tag in ("last", "latest") else (0, int(tag))
+
+    return os.path.join(ckpt_dir, max(cands, key=key))
 
 
 def main():
@@ -74,7 +86,13 @@ def main():
     p.add_argument("--use-ema", action="store_true", default=True)
     p.add_argument("--dp", action="store_true",
                    help="shard bulk sampling and the metric batches over all devices")
+    p.add_argument("--platform", default="",
+                   help="pin every stage's JAX platform (e.g. 'cpu' to verify the "
+                        "chain without a TPU; the plain env var is clobbered by "
+                        "hosted sitecustomize overrides)")
     args = p.parse_args()
+    global PLATFORM
+    PLATFORM = args.platform
 
     exp_dir = os.path.join(args.work_dir, "exps")
     img_dir = os.path.join(args.work_dir, "images")
@@ -106,12 +124,14 @@ def main():
         gen_args.append("--dp")
     run_stage("generate", gen_args)
 
-    # generate.py nests images under save_dir/<config>_<suffix>/; find them
-    img_root = img_dir
-    for root, _, files in os.walk(img_dir):
-        if any(f.endswith(".png") for f in files):
-            img_root = root
-            break
+    # generate.py nests images under save_dir/<config>_<suffix>/<timestamp>/;
+    # evaluate THIS run's images — the newest png-bearing dir by mtime, not
+    # os.walk order (which once handed a stale earlier run to eval)
+    png_dirs = [
+        root for root, _, files in os.walk(img_dir)
+        if any(f.endswith(".png") for f in files)
+    ]
+    img_root = max(png_dirs, key=os.path.getmtime) if png_dirs else img_dir
 
     # 3) eval.py — FID / IS / P&R over the generated directory (+ nll via the
     # checkpoint); metrics lacking local weights are skipped, not fatal

@@ -31,6 +31,11 @@ def apply_batched(jit_fn: Callable, x, batch_size: int, mesh=None) -> np.ndarray
 
     x = np.asarray(x)
     n = len(x)
+    if n == 0:
+        # shared across three metric loaders: an empty stream must yield an
+        # empty (0, ...) result, not a np.concatenate([]) crash; a zero-batch
+        # trace gives the correct output feature shape
+        return np.asarray(jit_fn(jnp.zeros((0,) + x.shape[1:], x.dtype)))
     outs = []
     if mesh is not None:
         from ..parallel import batch_sharding
