@@ -371,6 +371,99 @@ def test_learned_variance_sampling_and_kl_loss():
     assert loss.shape == (2,) and np.all(np.isfinite(np.asarray(loss)))
 
 
+def _ref_loss_and_grads(p_uncond, multitags):
+    """Loss + all parameter grads of the live torch reference's train_loss
+    with in-loss CFG dropout probability ``p_uncond``, on fixed seeds."""
+    torch.manual_seed(0)
+    tm = ref_unet.UNet(num_classes=5, multitags=multitags, **CFG)
+    with torch.no_grad():
+        for p in tm.parameters():
+            if p.ndim >= 2 and float(p.abs().max()) == 0.0:
+                p.normal_(0.0, 0.05)
+    tm.train()
+    ref_gd = ref_diffusion.GaussianDiffusion(
+        logsnr_fn=ref_diffusion.get_logsnr_schedule("cosine"),
+        sample_timesteps=T, model_out_type="eps", model_var_type="fixed_large",
+        reweight_type="snr", loss_type="mse", w_guide=0.0, p_uncond=p_uncond,
+    )
+    rng = np.random.RandomState(7)
+    B = 4
+    x0 = torch.as_tensor(rng.randn(B, 3, RES, RES).astype(np.float32).clip(-1, 1))
+    t = torch.as_tensor(rng.rand(B))
+    noise = torch.as_tensor(rng.randn(B, 3, RES, RES).astype(np.float32))
+    if multitags:
+        y = torch.as_tensor((rng.rand(B, 5) > 0.4).astype(np.float32))
+    else:
+        y = torch.as_tensor(rng.randint(1, 6, (B,)).astype(np.float32))
+    torch.manual_seed(123)  # pins the in-loss torch.rand mask draw
+    loss = ref_gd.train_loss(
+        lambda x, tt, yy: tm(x, tt, yy), x_0=x0, t=t, y=y, noise=noise
+    ).mean()
+    tm.zero_grad()
+    loss.backward()
+    grads = {
+        n: p.grad.detach().clone()
+        for n, p in tm.named_parameters()
+        if p.grad is not None
+    }
+    return float(loss), grads
+
+
+@pytest.mark.parametrize("multitags", [False, True], ids=["scalar", "multitag"])
+def test_reference_p_uncond_is_a_noop(multitags):
+    """Empirical adjudication of the reference's in-loss CFG label dropout
+    (documented in PARITY.md): diffusion.py:508 runs the denoiser forward
+    FIRST, then lines 527-529 mutate ``y`` in place (``y *= mask``) — after
+    the forward already consumed the labels. The scalar path materialized its
+    one-hot inside the UNet; the multitag path's normalization (models/
+    unet.py:292-294) is out-of-place, so the tensor ``class_embed`` saves for
+    backward is untouched by the mutation. Hence p_uncond=1.0 must produce
+    BIT-IDENTICAL loss and gradients (class_embed included) to p_uncond=0.0."""
+    loss_off, grads_off = _ref_loss_and_grads(0.0, multitags)
+    loss_on, grads_on = _ref_loss_and_grads(1.0, multitags)
+    assert loss_on == loss_off
+    assert grads_on.keys() == grads_off.keys()
+    assert any("class_embed" in n for n in grads_on)
+    for n in grads_on:
+        np.testing.assert_array_equal(
+            grads_on[n].numpy(), grads_off[n].numpy(), err_msg=n
+        )
+
+
+def test_p_uncond_drops_labels_before_forward():
+    """This framework applies CFG label dropout BEFORE the denoiser forward
+    (the intended semantics the reference's post-forward mutation misses):
+    with p_uncond=0.5 the denoise_fn must see ~half the label rows zeroed,
+    and with uncond_rng=None labels must arrive intact."""
+    gd = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=T,
+        model_out_type="eps", model_var_type="fixed_large",
+        reweight_type="snr", loss_type="mse", w_guide=0.0, p_uncond=0.5,
+    )
+    B = 512
+    x0 = jnp.zeros((B, RES, RES, 3))
+    t = jnp.full((B,), 0.5)
+    noise = jnp.zeros((B, RES, RES, 3))
+    y = jnp.asarray(np.random.RandomState(2).randint(1, 6, (B,)), jnp.float32)
+
+    seen = {}
+
+    def spy(x_t, t_, y_):
+        seen["y"] = y_
+        return jnp.zeros_like(x_t)
+
+    gd.train_loss(spy, x_0=x0, t=t, y=y, noise=noise, uncond_rng=jax.random.key(0))
+    seen_y = np.asarray(seen["y"])
+    frac_dropped = float(np.mean(seen_y == 0.0))
+    assert 0.35 < frac_dropped < 0.65, frac_dropped
+    # surviving rows carry the ORIGINAL labels (mask multiplies, not shuffles)
+    kept = seen_y != 0.0
+    np.testing.assert_array_equal(seen_y[kept], np.asarray(y)[kept])
+
+    gd.train_loss(spy, x_0=x0, t=t, y=y, noise=noise, uncond_rng=None)
+    np.testing.assert_array_equal(np.asarray(seen["y"]), np.asarray(y))
+
+
 def test_calc_all_bpd_runs():
     tm, jm, params = _models(out_channels=3)
     _, jax_fn = _fns(3, 0)
