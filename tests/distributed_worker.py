@@ -18,6 +18,9 @@ the TPU-pod analogue of the reference's torchrun bring-up
 * leader-gated checkpoint save, restored by the non-leader
 * FSDP over the global mesh: cross-host sharded state, the collective
   sharded Orbax save/restore, and sampling from sharded EMA params
+* tensor-parallel + spatially-partitioned serving forwards over the GLOBAL
+  mesh (params / activations sharded across both processes), equal to a
+  purely local unsharded forward
 
 Prints ``WORKER_OK <pid>`` on success; any assertion/exception fails the
 parent test via the exit code.
@@ -243,6 +246,63 @@ def main():
     assert f_trainer.start_epoch == 1
     assert int(jax.device_get(f_trainer.state.step)) == 1
     np.testing.assert_allclose(gnorm(f_trainer.state.params), norm_before, rtol=1e-12)
+
+    sync_global_devices("phase_5")
+
+    # --- Tensor-parallel + spatially-partitioned serving ACROSS HOSTS: the
+    # modes generate.py exposes as --tp/--spatial-shard, here with the params
+    # (resp. activations) sharded over the GLOBAL 8-device mesh spanning both
+    # processes — each host addresses only half the shards, the forward is
+    # collective, and the replicated output must match a purely local
+    # (unsharded, single-device) forward of the same params.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vdiff_tpu.parallel.spatial import spatial_constraint
+    from vdiff_tpu.parallel.tp import create_tp_mesh, tp_shard_params
+
+    tp_model = UNet(
+        in_channels=3, hid_channels=64, out_channels=3, ch_multipliers=(1,),
+        num_res_blocks=1, apply_attn=(True,), num_heads=1, drop_rate=0.0,
+        num_classes=0, use_flash=False,
+    )
+    tp_key = jax.random.key(11)  # same key on every process → identical init
+    tp_params = jax.device_get(tp_model.init(
+        {"params": tp_key}, np.zeros((1, 8, 8, 3), np.float32),
+        np.zeros((1,), np.float32), None,
+    )["params"])
+    xb = np.linspace(-1, 1, 2 * 8 * 8 * 3, dtype=np.float32).reshape(2, 8, 8, 3)
+
+    def tp_fwd(p, x_):
+        return tp_model.apply(
+            {"params": p}, x_, jnp.full((x_.shape[0],), 0.5, jnp.float32), None,
+            train=False,
+        )
+
+    # local single-device reference (host-local arrays → non-collective jit)
+    out_ref = np.asarray(jax.device_get(jax.jit(tp_fwd)(tp_params, xb)))
+
+    tp_mesh = create_tp_mesh()  # global: all 8 devices across both processes
+    assert tp_mesh.devices.size == 4 * num_procs
+    tp_sharded = tp_shard_params(tp_mesh, tp_params)
+    assert sum(
+        1 for l in jax.tree.leaves(tp_sharded)
+        if not l.sharding.is_fully_replicated
+    ) > 0, "TP placement never sharded a kernel"
+    rep_tp = NamedSharding(tp_mesh, P())
+    out_tp = jax.device_get(
+        jax.jit(tp_fwd, out_shardings=rep_tp)(tp_sharded, jnp.asarray(xb))
+    )
+    np.testing.assert_allclose(np.asarray(out_tp), out_ref, rtol=2e-5, atol=2e-5)
+
+    def sp_fwd(p, x_):
+        return tp_fwd(p, spatial_constraint(x_, tp_mesh))
+
+    out_sp = jax.device_get(
+        jax.jit(sp_fwd, out_shardings=rep_tp)(
+            jax.device_put(tp_params, rep_tp), jnp.asarray(xb)
+        )
+    )
+    np.testing.assert_allclose(np.asarray(out_sp), out_ref, rtol=2e-5, atol=2e-5)
 
     sync_global_devices("done")
     print(f"WORKER_OK {pid}", flush=True)

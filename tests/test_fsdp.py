@@ -32,14 +32,27 @@ def test_leaf_partition_spec_rules():
     # scalars and small leaves stay replicated
     assert leaf_partition_spec((), 8) == P()
     assert leaf_partition_spec((512,), 8) == P()  # bias < min_size
-    # large conv kernel: largest divisible dim, ties broken to the trailing
-    # (output-features) dim
+    # conv kernels: trailing-most divisible dim (O of HWIO) — NEVER the input
+    # dim, which the concat-free split path slices (round-4 GSPMD rule; a
+    # slice along the sharded dim forces involuntary full rematerialization)
     assert leaf_partition_spec((3, 3, 256, 256), 8) == P(None, None, None, "data")
-    assert leaf_partition_spec((3, 3, 512, 256), 8) == P(None, None, "data", None)
+    assert leaf_partition_spec((3, 3, 512, 256), 8) == P(None, None, None, "data")
+    # ...unless only the input dim divides
+    assert leaf_partition_spec((3, 3, 512, 255), 8) == P(None, None, "data", None)
+    # attention token-matmul kernels: contracting dim (dim 2) — output-dim
+    # sharding made HSDP's backward dqkv/d(out) concats fall back to full
+    # activation rematerialization
+    assert leaf_partition_spec((1, 1, 256, 768), 8, path="mid_attn/proj_in/kernel") \
+        == P(None, None, "data", None)
+    assert leaf_partition_spec((1, 1, 256, 256), 8, path="mid_attn/proj_out/kernel") \
+        == P(None, None, "data", None)
+    # rank-2 dense kernels: input dim (the FiLM fc's shift/scale split lives
+    # on the output dim)
+    assert leaf_partition_spec((1024, 512), 8, min_size=0) == P("data", None)
     # nothing divisible -> replicated even when large
     assert leaf_partition_spec((3, 3, 255, 255), 8) == P()
     # min_size override shards small leaves too
-    assert leaf_partition_spec((64, 64), 8, min_size=0) == P(None, "data")
+    assert leaf_partition_spec((64, 64), 8, min_size=0) == P("data", None)
 
 
 @functools.lru_cache(maxsize=None)
@@ -155,6 +168,58 @@ def test_hsdp_step_matches_replicated():
     # state is stored once per fsdp group of 2 -> per-device bytes ~1/2 of full
     total = sum(np.asarray(l).nbytes for l in jax.tree.leaves(jax.device_get(state)))
     assert state_bytes_per_device(s_hsdp) < 0.75 * total
+
+
+def test_hsdp_no_involuntary_activation_remat(capfd):
+    """Compiling the full CFG train step under a hybrid (data, fsdp) mesh must
+    not hit GSPMD "[SPMD] Involuntary full rematerialization" fallbacks
+    (VERDICT r3 #3): with the old largest-dim placement, the backward's
+    dqkv/d(shift,scale) concats inherited feature shardings the partitioner
+    could only satisfy by replicating activation-sized tensors every step.
+    The round-4 placement rule (parallel/fsdp.py docstring) eliminates every
+    such fallback on the hybrid mesh — pinned here via fd-level stderr capture
+    (the warning is C++ glog output). Exact dryrun_multichip HSDP config:
+    CFG + multiclass + dropout + grad accum, up-path splits + attention."""
+    assert jax.device_count() >= 8
+    model = UNet(
+        in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1, 2),
+        num_res_blocks=1, apply_attn=(False, True), drop_rate=0.1, num_heads=1,
+        num_classes=10, use_flash=False,
+    )
+    diffusion = GaussianDiffusion(
+        logsnr_fn=get_logsnr_schedule("cosine"), sample_timesteps=4,
+        model_out_type="v", model_var_type="fixed_medium",
+        reweight_type="snr_trunc", loss_type="mse", intp_frac=0.3,
+        w_guide=0.1, p_uncond=0.1,
+    )
+    optimizer = make_optimizer(lr=2e-4, warmup=10, grad_norm=1.0)
+    step_fn = make_train_step(model, diffusion, optimizer, timesteps=0,
+                              num_accum=2, use_cfg=True, use_ema=True)
+    rng = jax.random.key(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, RES, RES, 3)), jnp.zeros((1,)), jnp.zeros((1,)),
+    )["params"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    mesh2 = create_mesh(fsdp_size=2)
+    shardings = state_shardings(mesh2, state, min_size=0)
+    bsh = batch_sharding(mesh2, 4)
+    from jax.sharding import NamedSharding
+
+    ysh = NamedSharding(mesh2, P(("data", "fsdp")))
+    step = jax.jit(step_fn, in_shardings=(shardings, bsh, ysh, None),
+                   out_shardings=(shardings, replicated(mesh2)))
+    x = jax.device_put(jnp.zeros((32, RES, RES, 3)), bsh)
+    y = jax.device_put(jnp.ones((32,)), ysh)
+    capfd.readouterr()  # drop anything buffered before the compile
+    _, loss = step(jax.device_put(state, shardings), x, y, rng)
+    jax.block_until_ready(loss)
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
 
 
 def _fsdp_trainer(epochs=2):

@@ -13,11 +13,23 @@ shard, with gradients arriving via reduce-scatter instead of all-reduce. Same
 step semantics as DDP — the state trajectory matches the replicated run to
 float tolerance (test_fsdp.py) — at ~1/N the state memory per chip.
 
-Leaf placement rule: shard the largest dimension divisible by the axis size
-(ties → the trailing dim: O of HWIO conv kernels / the output-features dim of
-(i, o) dense kernels, keeping shards contiguous in the minor dims); leaves too
-small to matter (< ``min_size`` elements — biases, norm scales, step counters)
-stay replicated so the partitioner doesn't chase sub-lane collectives.
+Leaf placement rule (round 4 — chosen empirically against GSPMD's
+"[SPMD] involuntary full rematerialization" fallbacks, see PARALLEL.md):
+
+* rank-4 conv kernels → trailing (O) dim. Sharding the LARGEST dim (the old
+  rule) puts the shard axis on I for shrinking convs, and the concat-free up
+  path slices kernels along I (models/unet.py) — a slice along the sharded
+  dim is exactly what the old partitioner punts on.
+* attention token-matmul kernels (``proj_in``/``proj_out``) → dim 2 (their
+  contracting dim). Under a hybrid mesh, output-dim sharding made the
+  backward's dqkv/d(out) concats inherit feature shardings the partitioner
+  could not reshard without full rematerialization of activation-sized
+  tensors; contracting-dim storage removes every such HSDP fallback.
+* rank-2 dense kernels → dim 0 (input features), for the same reason applied
+  to the FiLM ``fc``'s shift/scale split.
+* leaves too small to matter (< ``min_size`` elements — biases, norm scales,
+  step counters) stay replicated so the partitioner doesn't chase sub-lane
+  collectives.
 """
 
 from __future__ import annotations
@@ -42,18 +54,25 @@ def resolve_fsdp_axis(mesh: Mesh) -> str:
     return FSDP_AXIS if FSDP_AXIS in mesh.axis_names else DATA_AXIS
 
 
+# param-tree path markers for the attention token-matmul kernels (see the
+# module docstring's placement rule)
+_CONTRACTING_DIM_KERNELS = ("proj_in", "proj_out")
+
+
 def leaf_partition_spec(shape, axis_size: int, axis_name: str = DATA_AXIS,
-                        min_size: int = MIN_SHARD_SIZE) -> P:
-    """PartitionSpec for one state leaf: largest axis-divisible dim sharded."""
+                        min_size: int = MIN_SHARD_SIZE, path: str = "") -> P:
+    """PartitionSpec for one state leaf (placement rule in module docstring)."""
     if math.prod(shape) < min_size:
         return P()
-    best_dim = -1
-    best_extent = 0
-    for d, n in enumerate(shape):
-        if n % axis_size == 0 and n >= best_extent:
-            best_dim, best_extent = d, n
-    if best_dim < 0:  # nothing divides the axis — keep replicated
+    dims = [d for d, n in enumerate(shape) if n % axis_size == 0]
+    if not dims:  # nothing divides the axis — keep replicated
         return P()
+    if len(shape) == 4 and any(k in path for k in _CONTRACTING_DIM_KERNELS):
+        best_dim = 2 if shape[2] % axis_size == 0 else dims[-1]
+    elif len(shape) == 2:
+        best_dim = 0 if shape[0] % axis_size == 0 else dims[-1]
+    else:
+        best_dim = dims[-1]  # trailing-most divisible dim (O of HWIO kernels)
     spec = [None] * len(shape)
     spec[best_dim] = axis_name
     return P(*spec)
@@ -63,21 +82,24 @@ def state_shardings(mesh: Mesh, state, axis_name: str = None,
                     min_size: int = MIN_SHARD_SIZE):
     """A TrainState-shaped pytree of NamedShardings for FSDP placement.
 
-    Applied uniformly by shape, so the Adam mu/nu moments and the EMA shadow
-    (same shapes as params) land on the same shards as their parameters — the
-    whole optimizer update stays shard-local. ``axis_name`` defaults to the
-    mesh's fsdp axis when one exists (hybrid mesh), else the data axis.
+    Applied uniformly by shape+path, so the Adam mu/nu moments and the EMA
+    shadow (same shapes/paths as their parameters) land on the same shards —
+    the whole optimizer update stays shard-local. ``axis_name`` defaults to
+    the mesh's fsdp axis when one exists (hybrid mesh), else the data axis.
     """
     if axis_name is None:
         axis_name = resolve_fsdp_axis(mesh)
     axis_size = mesh.shape[axis_name]
 
-    def spec(leaf):
+    def spec(path, leaf):
+        path_str = "/".join(str(getattr(k, "key", k)) for k in path)
         return NamedSharding(
-            mesh, leaf_partition_spec(np.shape(leaf), axis_size, axis_name, min_size)
+            mesh,
+            leaf_partition_spec(np.shape(leaf), axis_size, axis_name, min_size,
+                                path=path_str),
         )
 
-    return jax.tree.map(spec, state)
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def shard_state(mesh: Mesh, state, axis_name: str = None):
