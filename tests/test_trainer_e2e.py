@@ -143,6 +143,71 @@ def test_multitag_sample_labels_draws_tag_rows(tmp_path):
     assert set(np.unique(labels)).issubset({0.0, 1.0})
 
 
+def test_in_training_eval_samples_conditionally(tmp_path):
+    """The in-training FID must sample the HEADLINE condition for CFG models:
+    class-conditional labels drawn per eval batch, guidance w=0 (reference
+    generate.py:118-136; its own Evaluator passes an int as labels —
+    train_utils.py:375 — so this is intent, not translation)."""
+    import dataclasses
+
+    from vdiff_tpu.train_lib import Evaluator
+
+    trainer = _tiny_trainer(tmp_path, epochs=1)
+    trainer.eval_intv = 1
+
+    rng = np.random.RandomState(0)
+    D = 8
+    ref = rng.randn(1024, D)
+    ev = Evaluator(
+        dataset="cifar10", eval_batch_size=8, max_eval_count=8,
+        feature_fn=lambda x: x.reshape(x.shape[0], -1)[:, :D].astype(np.float64),
+        target_stats=(ref.mean(0), np.cov(ref, rowvar=False, ddof=1)),
+        diffusion=dataclasses.replace(trainer.diffusion, w_guide=0.0),
+    )
+
+    seen = []
+    orig = trainer.sample_fn
+
+    def spy(label=None, batch_size=None, use_ddim=False, diffusion=None, seed_key=None):
+        seen.append((label, diffusion))
+        return orig(label=label, batch_size=batch_size, use_ddim=use_ddim,
+                    diffusion=diffusion, seed_key=seed_key)
+
+    trainer.sample_fn = spy
+    trainer.train(evaluator=ev, use_ddim=True)
+
+    eval_calls = [(y, d) for y, d in seen if d is not None]
+    assert len(eval_calls) == 2  # max_eval_count 8 + batch 8 → two batches
+    for y, d in eval_calls:
+        assert y is not None, "CFG model must eval-sample conditionally"
+        y = np.asarray(y)
+        assert y.shape == (8,)
+        assert set(np.unique(y)).issubset({1.0, 2.0, 3.0, 4.0})
+        assert d.w_guide == 0.0  # headline FID condition: conditional, w=0
+    # label draws differ across eval batches (per-batch rng folding)
+    assert not np.array_equal(np.asarray(eval_calls[0][0]), np.asarray(eval_calls[1][0]))
+
+    # unconditional models keep sampling label-free
+    trainer_u = _tiny_trainer(tmp_path, epochs=1, use_cfg=False)
+    trainer_u.eval_intv = 1
+    seen_u = []
+    orig_u = trainer_u.sample_fn
+
+    def spy_u(label=None, batch_size=None, use_ddim=False, diffusion=None, seed_key=None):
+        seen_u.append((label, diffusion))
+        return orig_u(label=label, batch_size=batch_size, use_ddim=use_ddim,
+                      diffusion=diffusion, seed_key=seed_key)
+
+    trainer_u.sample_fn = spy_u
+    ev2 = Evaluator(
+        dataset="cifar10", eval_batch_size=8, max_eval_count=8,
+        feature_fn=lambda x: x.reshape(x.shape[0], -1)[:, :D].astype(np.float64),
+        target_stats=(ref.mean(0), np.cov(ref, rowvar=False, ddof=1)),
+    )
+    trainer_u.train(evaluator=ev2, use_ddim=True)
+    assert all(y is None for y, d in seen_u if d is None)
+
+
 def test_sample_fn_cache_keys_on_diffusion_config(tmp_path):
     """Two distinct diffusion configs must never share a compiled sampler
     (the old id()-based key could collide after GC)."""

@@ -159,20 +159,28 @@ def test_concat_free_up_path_matches_concat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
-def test_remat_same_outputs_and_grads():
+import pytest
+
+
+@pytest.mark.parametrize("policy", [None, "conv"])
+def test_remat_same_outputs_and_grads(policy):
     """remat=True (gradient checkpointing) must be a pure memory/FLOP trade:
-    identical forward outputs and parameter gradients."""
+    identical forward outputs and parameter gradients. remat_policy="conv"
+    (selective: conv/matmul outputs saved, elementwise chains recomputed)
+    must be numerics-identical too — incl. dropout, whose mask re-derivation
+    in the backward must consume the same rng (drop_rate>0 covers it)."""
     import numpy as np
 
     from vdiff_tpu.models.unet import UNet
 
     kw = dict(
         in_channels=3, hid_channels=32, out_channels=3, ch_multipliers=(1, 2),
-        num_res_blocks=1, apply_attn=(False, True), drop_rate=0.0, num_heads=1,
+        num_res_blocks=1, apply_attn=(False, True), num_heads=1,
         num_classes=0, use_flash=False,
+        drop_rate=0.0 if policy is None else 0.3,
     )
     base = UNet(**kw)
-    ckpt = UNet(**kw, remat=True)
+    ckpt = UNet(**kw, remat=True, remat_policy=policy)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
     t = jnp.asarray([0.3, 0.7], jnp.float32)
     params = base.init({"params": jax.random.key(0)}, x, t, None)["params"]

@@ -12,6 +12,7 @@ Mapping of GPU-specific flags (reference train.py:226-260):
   --use-xformers    → maps to the fused/Pallas attention path (use_flash)
 """
 
+import dataclasses
 import os
 from datetime import datetime, timezone
 
@@ -150,6 +151,7 @@ def main(args):
         use_flash=bool(model_r.use_xformers) or jax.default_backend() == "tpu",
         dtype=dtype,
         remat=args.remat,
+        remat_policy=args.remat_policy,
     )
 
     trainloader, sampler = get_dataloader(
@@ -194,7 +196,18 @@ def main(args):
         fsdp=args.fsdp,
         fsdp_size=args.fsdp_size,
     )
-    evaluator = Evaluator(dataset=dataset, mesh=trainer.mesh) if args.eval else None
+    evaluator = None
+    if args.eval:
+        # in-training FID matches the headline condition: class-conditional
+        # sampling at w=0 (reference generate.py's default FID protocol) —
+        # pass a zero-guidance diffusion so CFG models skip the concat
+        # doubling while the Trainer draws real labels
+        eval_diffusion = (
+            dataclasses.replace(diffusion, w_guide=0.0) if cond.use_cfg else None
+        )
+        evaluator = Evaluator(
+            dataset=dataset, diffusion=eval_diffusion, mesh=trainer.mesh
+        )
 
     # elastic relaunch: resume is forced on under distributed (reference
     # train.py:214-224)
@@ -277,6 +290,10 @@ if __name__ == "__main__":
     parser.add_argument("--remat", action="store_true",
                         help="gradient checkpointing per UNet block (activation memory ~/depth, "
                              "+~1/3 recompute FLOPs; needed for the celeba-scale model on one chip)")
+    parser.add_argument("--remat-policy", type=str, default=None, choices=["conv"],
+                        help="selective remat: save conv/matmul outputs, recompute only "
+                             "elementwise chains in the backward (more memory than --remat "
+                             "alone, near-zero recompute FLOPs)")
     parser.add_argument("--prng-impl", type=str, default="rbg", choices=["rbg", "threefry2x32"],
                         help="PRNG implementation (rbg is ~18%% faster per train step on TPU)")
     parser.add_argument("--max-ckpts-kept", type=int, help="maximum number of checkpoints to keep on disk (none for no cap)")

@@ -94,7 +94,7 @@ def build_diffusion(diff_section: dict, *, w_guide: float, p_uncond: float = 0.0
 
 def build_unet(model_section: dict, *, in_channels: int, model_out_type: str,
                num_classes: int, multitags: bool, use_flash: bool, dtype=None,
-               remat: bool = False):
+               remat: bool = False, remat_policy=None):
     """(resolved) ``config["model"]`` → UNet; infers out_channels from the
     prediction head ("both" doubles channels, reference train.py:106-110)."""
     from .models.unet import UNet
@@ -105,7 +105,7 @@ def build_unet(model_section: dict, *, in_channels: int, model_out_type: str,
     head_mult = 2 if normalize_out_type(model_out_type) == "both" else 1
     cfg.setdefault("out_channels", head_mult * in_channels)
     return UNet(num_classes=num_classes, multitags=multitags, use_flash=use_flash,
-                dtype=dtype, remat=remat, **cfg)
+                dtype=dtype, remat=remat, remat_policy=remat_policy, **cfg)
 
 
 def load_checkpoint_params(ckpt_path: str, use_ema: bool = False):

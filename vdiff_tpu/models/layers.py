@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 
 class EfficientDropout(nn.Module):
@@ -138,7 +139,10 @@ class ParamConv(nn.Module):
         y = jax.lax.conv_general_dilated(
             x, kernel, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
-        return y + bias
+        # named for the selective remat policy (UNet(remat_policy="conv")):
+        # under jax.checkpoint(save_only_these_names) the conv output is saved
+        # and only the cheap elementwise chain recomputes in the backward
+        return checkpoint_name(y + bias, "unet_mm")
 
 
 def Conv1x1(features, init_scale=1.0, dtype=None, name=None):

@@ -28,6 +28,7 @@ from typing import Sequence, Union
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.numerics import get_timestep_embedding
 from ..ops.attention import spatial_attention_qkv
@@ -115,19 +116,28 @@ class AttentionBlock(nn.Module):
             h, params_only=True
         )
         tokens = h.reshape(B, H * W, in_dim)
-        qkv = jnp.dot(tokens, kin[0, 0].astype(tokens.dtype)) + bin_.astype(tokens.dtype)
+        qkv = checkpoint_name(
+            jnp.dot(tokens, kin[0, 0].astype(tokens.dtype)) + bin_.astype(tokens.dtype),
+            "unet_mm",
+        )
         # fused-qkv attention: at inference the Pallas kernel reads q/k/v as
         # lane-offset views of the projection output (no split copies); at
         # training it dispatches to the custom-VJP flash kernels (attention
         # was 20% of the train step through XLA autodiff's materialized
         # softmax chain)
-        out = spatial_attention_qkv(
-            qkv, num_heads, use_flash=self.use_flash, train=train,
+        out = checkpoint_name(
+            spatial_attention_qkv(
+                qkv, num_heads, use_flash=self.use_flash, train=train,
+            ),
+            "unet_mm",
         )
         kout, bout = ParamConv(in_dim, (1, 1), init_scale=0.0, name="proj_out",
                                dtype=self.dtype)(out.reshape(B, H, W, hid_dim),
                                                  params_only=True)
-        out = jnp.dot(out, kout[0, 0].astype(out.dtype)) + bout.astype(out.dtype)
+        out = checkpoint_name(
+            jnp.dot(out, kout[0, 0].astype(out.dtype)) + bout.astype(out.dtype),
+            "unet_mm",
+        )
         return out.reshape(B, H, W, in_dim) + skip
 
 
@@ -192,10 +202,11 @@ class ResidualBlock(nn.Module):
             ks, bs = Conv1x1(self.out_channels, dtype=self.dtype, name="skip")(
                 dummy, params_only=True
             )
-            skip = (
+            skip = checkpoint_name(
                 _conv_nhwc(x, ks[:, :, :C1])
                 + _conv_nhwc(skip_in, ks[:, :, C1:])
-                + bs.astype(x.dtype)
+                + bs.astype(x.dtype),
+                "unet_mm",
             )
             gamma, beta = norm1(dummy, params_only=True)
             ga = gn_film_silu(x, gamma[:C1], beta[:C1],
@@ -203,10 +214,11 @@ class ResidualBlock(nn.Module):
             gb = gn_film_silu(skip_in, gamma[C1:], beta[C1:],
                               num_groups=32 * C2 // ctot, eps=1e-6, apply_silu=True)
             k1, b1 = conv1(dummy, params_only=True)
-            h = (
+            h = checkpoint_name(
                 _conv_nhwc(ga, k1[:, :, :C1])
                 + _conv_nhwc(gb, k1[:, :, C1:])
-                + b1.astype(x.dtype)
+                + b1.astype(x.dtype),
+                "unet_mm",
             )
         else:
             skip = resample(x)
@@ -298,6 +310,12 @@ class UNet(nn.Module):
     # celeba-scale model (301M params, 64x64) at useful batch sizes on one
     # chip; beyond-parity (torch reference has no activation checkpointing).
     remat: bool = False
+    # remat_policy="conv": selective checkpointing — conv/matmul outputs
+    # (tagged "unet_mm") are SAVED and only the cheap elementwise chains
+    # (GN/FiLM/SiLU/dropout) recompute in the backward. More activation
+    # memory than full per-block remat, but the backward re-executes no
+    # convolutions (the FLOPs-heavy 90% of a block).
+    remat_policy: str | None = None
     dtype: jnp.dtype | None = None
 
     @property
@@ -313,7 +331,15 @@ class UNet(nn.Module):
         head_dim, num_heads = self.head_dim, self.num_heads
         if head_dim is None and num_heads is None:
             num_heads = 1  # reference default (unet.py:184-185)
-        cls = nn.remat(_ResAttn, static_argnums=(3,)) if self.remat else _ResAttn
+        if self.remat:
+            policy = None
+            if self.remat_policy == "conv":
+                policy = jax.checkpoint_policies.save_only_these_names("unet_mm")
+            elif self.remat_policy is not None:
+                raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+            cls = nn.remat(_ResAttn, static_argnums=(3,), policy=policy)
+        else:
+            cls = _ResAttn
         return cls(
             out_ch,
             apply_attn=self._attn_flags()[level],

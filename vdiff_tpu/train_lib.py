@@ -467,7 +467,35 @@ class Trainer:
             def denoise(params, x_t, t_, y_):
                 return self.model.apply({"params": params}, x_t, t_, y_, train=False)
 
-            if shard:
+            if shard and self.fsdp:
+                # params stay FSDP-sharded INTO the sampling jit — GSPMD
+                # inserts the per-layer all-gathers at each weight's use site
+                # instead of materializing the full EMA tree on every device
+                # up front (shard_map in_specs=P() did exactly that,
+                # reintroducing the per-chip memory FSDP exists to avoid).
+                # The batch is GSPMD-sharded over the mesh; the output is
+                # forced replicated so device_get works on every process.
+                p_sh = (
+                    self._state_shardings.ema_params
+                    if (self.use_ema and self.state.ema_params is not None)
+                    else self._state_shardings.params
+                )
+                y_sh = (
+                    batch_sharding(self.mesh, label.ndim) if has_label else None
+                )
+
+                def fsdp_sample(params, rng, y):
+                    return diffusion.p_sample(
+                        partial(denoise, params), (Bp, H, W, C), rng,
+                        label=y if has_label else None, use_ddim=use_ddim,
+                    )
+
+                self._sample_jit[cache_key] = jax.jit(
+                    fsdp_sample,
+                    in_shardings=(p_sh, None, y_sh),
+                    out_shardings=replicated(self.mesh),
+                )
+            elif shard:
                 from jax.sharding import PartitionSpec as P
 
                 # the batch splits over EVERY mesh axis (under a hybrid
@@ -518,6 +546,18 @@ class Trainer:
             y_arg = jnp.zeros((Bp,), jnp.float32)
         out = self._sample_jit[cache_key](self._sampling_params(), rng, y_arg)
         return jax.device_get(out)[:B]
+
+    def eval_labels(self, b, key):
+        """Random conditional labels for in-training FID, mirroring the
+        offline generate path (reference generate.py:118-136): scalar classes
+        uniform in [1, K]; multitags drawn from dataset target rows. The key
+        derives from the shared seed, so every process draws the SAME labels
+        (they feed the collective sample_fn)."""
+        if self.multitags:
+            ds = self.trainloader.dataset
+            idx = jax.random.randint(key, (b,), 0, len(ds))
+            return jnp.asarray(np.asarray(ds.targets)[np.asarray(idx)], jnp.float32)
+        return jax.random.randint(key, (b,), 1, self.num_classes + 1).astype(jnp.float32)
 
     def sample_labels(self):
         """Balanced class grid / dataset-drawn tag rows (train_utils.py:187-203)."""
@@ -573,11 +613,27 @@ class Trainer:
                     # ALL processes must run the eval; only reporting is
                     # leader-gated. (The reference's leader-only all_gather is
                     # the analogous multi-host hang — not replicated here.)
-                    eval_results = evaluator.eval(
-                        lambda b, d=None: self.sample_fn(
-                            label=None, batch_size=b, use_ddim=use_ddim, diffusion=d
+                    # CFG models sample CONDITIONALLY — the headline FID is
+                    # class-conditional (reference generate.py:118-136; its own
+                    # Evaluator passes an int as labels, train_utils.py:375 —
+                    # intent implemented per SURVEY §3.5). Labels fold
+                    # (epoch, eval-batch) so draws differ per batch but are
+                    # identical across processes.
+                    eval_draws = iter(range(1 << 30))
+
+                    def eval_sample(b, d=None, _e=e):
+                        y = None
+                        if self.use_cfg and self.num_classes:
+                            k = jax.random.fold_in(
+                                jax.random.fold_in(self.label_key, 1 + _e),
+                                next(eval_draws),
+                            )
+                            y = self.eval_labels(b, k)
+                        return self.sample_fn(
+                            label=y, batch_size=b, use_ddim=use_ddim, diffusion=d
                         )
-                    )
+
+                    eval_results = evaluator.eval(eval_sample)
                     if self.is_leader:
                         results.update(self.current_stats)
                         results.update(eval_results)
