@@ -21,13 +21,48 @@ Prints one JSON line per metric; the HEADLINE (sampling) line is LAST:
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
+# deterministic platform pin (the hosted sitecustomize clobbers JAX_PLATFORMS;
+# see vdiff_tpu/__init__.py) — bench.py touches jax before importing vdiff_tpu
+if os.environ.get("VDIFF_JAX_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VDIFF_JAX_PLATFORM"])
+
 BASELINE_SAMPLES_PER_SEC = 0.83  # torch reference, A100 fp32 estimate (see docstring)
 BASELINE_TRAIN_IMG_PER_SEC = 71.0  # same estimate applied to the train step
+
+# v5e bf16 peak (datasheet 197 TF/s bf16) — every line also reports MEASURED
+# utilization: model_tf_per_sec = XLA-cost-analysis FLOPs of the executed
+# program (so remat recompute counts as work) / wall time / chips, and
+# mfu = model_tf_per_sec / peak (TPU runs only; meaningless for CPU smoke).
+V5E_BF16_PEAK_TFS = 197.0
+
+
+def _cost_flops(jitted, *args):
+    """FLOPs of one execution from XLA cost analysis; None when unavailable."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _util_fields(flops_per_exec, execs_per_sec, on_tpu):
+    """{model_tf_per_sec, mfu} for a bench line (VERDICT r3 next #5)."""
+    if not flops_per_exec:
+        return {}
+    tfs = flops_per_exec * execs_per_sec / 1e12 / jax.device_count()
+    fields = {"model_tf_per_sec": round(tfs, 1)}
+    if on_tpu:
+        fields["mfu"] = round(tfs / V5E_BF16_PEAK_TFS, 3)
+    return fields
 
 # celeba.json (301.38M params, 64x64): forward = 207.46 GFLOPs/image (XLA cost
 # analysis, scripts/celeba_probe_tpu.py). Same A100-fp32 estimate method:
@@ -112,6 +147,7 @@ def bench_train(on_tpu: bool):
             return st, loss
         return jax.lax.scan(body, state, jax.random.split(rng, n_steps))
 
+    flops = _cost_flops(scan_steps, state, jax.random.key(2))  # pre-exec: traces only
     state, losses = scan_steps(state, jax.random.key(2))  # compile + warmup
     jax.device_get(losses)  # forced sync (see bench_sampling note)
     t0 = time.perf_counter()
@@ -127,6 +163,7 @@ def bench_train(on_tpu: bool):
                 "value": value,
                 "unit": "img/s/chip",
                 "vs_baseline": round(value / BASELINE_TRAIN_IMG_PER_SEC, 2),
+                **_util_fields((flops or 0) / n_steps, 1 / dt, on_tpu),
             }
         ),
         flush=True,
@@ -172,6 +209,7 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float,
     # compile + warmup (device_get forces real completion — the tunnel's
     # block_until_ready has been observed returning early in other setups;
     # these numbers are cross-validated against on-chip xprof traces)
+    flops = _cost_flops(sample, jax.random.key(1))
     jax.device_get(sample(jax.random.key(1)))
 
     n_runs = 3 if on_tpu else 1
@@ -191,6 +229,7 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float,
                 "value": value,
                 "unit": "samples/s/chip",
                 baseline_key: round(value / baseline, 2),
+                **_util_fields(flops, 1 / dt, on_tpu),
             }
         ),
         flush=True,
@@ -254,6 +293,7 @@ def bench_celeba_sampling(on_tpu: bool):
             return model.apply({"params": p}, xt, t, y_, train=False)
         return diffusion.p_sample(denoise, (B, res, res, 3), r, label=y, use_ddim=True)
 
+    flops = _cost_flops(sample, params, jax.random.key(1))
     jax.device_get(sample(params, jax.random.key(1)))  # compile + warmup
     n_runs = 2 if on_tpu else 1
     t0 = time.perf_counter()
@@ -266,6 +306,7 @@ def bench_celeba_sampling(on_tpu: bool):
         "metric": "celeba_samples_per_sec_per_chip_ddim256",
         "value": value, "unit": "samples/s/chip",
         "vs_baseline": round(value / BASELINE_CELEBA_SAMPLES_PER_SEC, 2),
+        **_util_fields(flops, 1 / dt, on_tpu),
     }), flush=True)
     return params
 
@@ -303,6 +344,9 @@ def bench_celeba_train(on_tpu: bool, params):
             return s, loss
         return jax.lax.scan(body, st, jax.random.split(r, n_steps))
 
+    # flops BEFORE any execution: the state is donated, lowering a deleted
+    # buffer is not safe. Includes remat recompute (executed-work MFU).
+    flops = _cost_flops(scan_steps, state, jax.random.key(3))
     state, losses = scan_steps(state, jax.random.key(3))
     jax.device_get(losses)
     t0 = time.perf_counter()
@@ -314,6 +358,7 @@ def bench_celeba_train(on_tpu: bool, params):
         "metric": "celeba_train_img_per_sec_per_chip_remat",
         "value": value, "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_CELEBA_TRAIN_IMG_PER_SEC, 2),
+        **_util_fields((flops or 0) / n_steps, 1 / dt, on_tpu),
     }), flush=True)
 
 

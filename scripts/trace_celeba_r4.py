@@ -1,0 +1,146 @@
+"""Round-4 celeba efficiency attack, step 1: trace BOTH the celeba sampler
+and the remat train step on TPU and print per-category time/FLOP-rate tables
+(VERDICT r3 next #1 — celeba runs at ~45%/'27%' MFU vs cifar's 76%/59%;
+find exactly where the non-conv / low-rate time is before changing code).
+
+Run ON TPU: timeout 3000 python scripts/trace_celeba_r4.py [sampler|train]
+"""
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+
+def summarize(path, top_ops=18):
+    """Print a per-category table + top self-time ops from an hlo_stats JSON
+    (gviz DataTable layout: {cols: [{label}...], rows: [{c: [{v}...]}...]})."""
+    with open(path) as f:
+        data = json.loads(f.read())
+    cols = [c.get("label") or c.get("id") for c in data["cols"]]
+    idx = {label: i for i, label in enumerate(cols)}
+
+    def col(row, *names, default=None):
+        for n in names:
+            if n in idx:
+                v = row["c"][idx[n]]
+                return None if v is None else v.get("v")
+        return default
+
+    rows = data["rows"]
+    cat_time, cat_flops = {}, {}
+    ops = []
+    for r in rows:
+        cat = col(r, "HLO Category", "category") or "?"
+        t = float(col(r, "Total Time (us)", "total_time", "Avg. time (us)", default=0) or 0)
+        occ = float(col(r, "#Occurrences", "occurrences", default=1) or 1)
+        gfs = float(col(r, "Model GFLOP/s", "model_flop_rate", default=0) or 0)
+        name = col(r, "HLO Op Name", "program", "hlo_op_name") or "?"
+        expr = (col(r, "HLO Op Expression", default="") or "")[:120]
+        cat_time[cat] = cat_time.get(cat, 0.0) + t
+        cat_flops[cat] = cat_flops.get(cat, 0.0) + t * gfs  # GF
+        ops.append((t, occ, gfs, cat, name, expr))
+
+    total = sum(cat_time.values()) or 1.0
+    print(f"\n=== {path}: total device time {total/1e3:.2f} ms ===")
+    print(f"{'category':<28}{'ms':>9}{'%':>7}{'TF/s':>8}")
+    for cat in sorted(cat_time, key=cat_time.get, reverse=True):
+        t = cat_time[cat]
+        rate = cat_flops[cat] / t / 1e3 if t else 0.0  # GF/us == TF/ms → TF/s/1e3
+        print(f"{cat:<28}{t/1e3:>9.2f}{100*t/total:>6.1f}%{rate*1e3:>8.1f}")
+    print("\ntop ops by self time:")
+    for t, occ, gfs, cat, name, expr in sorted(ops, reverse=True)[:top_ops]:
+        print(f"  {t/1e3:8.2f} ms  x{occ:<5.0f} {gfs/1e3:7.2f} TF/s  [{cat}] {name}  {expr}")
+
+
+def trace_sampler():
+    import dataclasses
+
+    from bench import _celeba
+
+    B = 32
+    unet, diffusion = _celeba(on_tpu=True)
+    diffusion = dataclasses.replace(diffusion, sample_timesteps=8)
+    model = unet(remat=False)
+    rng = jax.random.key(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), jnp.zeros((1, 40)),
+    )["params"]
+    y = jnp.zeros((B, 40), jnp.float32)
+
+    @jax.jit
+    def sample(p, r):
+        def denoise(xt, t, y_):
+            return model.apply({"params": p}, xt, t, y_, train=False)
+        return diffusion.p_sample(denoise, (B, 64, 64, 3), r, label=y, use_ddim=True)
+
+    jax.device_get(sample(params, jax.random.key(1)))
+
+    from trace_common import fresh_logdir, parse_trace
+
+    logdir = fresh_logdir("/tmp/celeba_trace_r4")
+    with jax.profiler.trace(logdir):
+        jax.device_get(sample(params, jax.random.key(2)))
+    for p in parse_trace(logdir, "/tmp/celeba_r4", tools=("hlo_stats",)):
+        summarize(p)
+
+
+def trace_train():
+    from bench import _celeba
+    from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
+
+    B = 32
+    unet, diffusion = _celeba(on_tpu=True)
+    model = unet(remat=True)
+    optimizer = make_optimizer(lr=3e-4, warmup=1000, grad_norm=1.0)
+    rng = jax.random.key(0)
+    params = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 64, 64, 3)), jnp.zeros((1,)), jnp.zeros((1, 40)),
+    )["params"]
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=optimizer.init(params),
+                       ema_params=jax.tree.map(jnp.copy, params))
+    step = make_train_step(model, diffusion, optimizer, timesteps=0, num_accum=1,
+                           use_cfg=True, use_ema=True)
+    x = jax.random.uniform(jax.random.key(1), (B, 64, 64, 3), jnp.float32, -1, 1)
+    y = (jax.random.uniform(jax.random.key(2), (B, 40)) < 0.5).astype(jnp.float32)
+    K = 2
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def steps(st, r):
+        def body(s, k):
+            s, loss = step(s, x, y, k)
+            return s, loss
+        return jax.lax.scan(body, st, jax.random.split(r, K))
+
+    state, losses = steps(state, jax.random.key(3))
+    jax.block_until_ready(losses)
+
+    from trace_common import fresh_logdir, parse_trace
+
+    logdir = fresh_logdir("/tmp/celeba_train_trace_r4")
+    with jax.profiler.trace(logdir):
+        state, losses = steps(state, jax.random.key(4))
+        jax.block_until_ready(losses)
+    for p in parse_trace(logdir, "/tmp/celeba_train_r4", tools=("hlo_stats",)):
+        summarize(p)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    print(f"backend: {jax.default_backend()}", flush=True)
+    if which in ("sampler", "both"):
+        trace_sampler()
+    if which in ("train", "both"):
+        trace_train()
