@@ -42,16 +42,27 @@ BASELINE_TRAIN_IMG_PER_SEC = 71.0  # same estimate applied to the train step
 V5E_BF16_PEAK_TFS = 197.0
 
 
-def _cost_flops(jitted, *args):
-    """FLOPs of one execution from XLA cost analysis; None when unavailable."""
+def _compile_with_flops(jitted, *args):
+    """AOT-compile once; return ``(runnable, flops)``.
+
+    The compiled executable is returned (and used by the caller for warmup
+    AND timing) so cost analysis does not pay a second compile — a plain
+    ``jitted.lower().compile()`` result never lands in jit's dispatch cache,
+    and celeba-scale compiles take minutes on this box. Falls back to the
+    jit wrapper (flops=None) if AOT compilation fails."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        c = jitted.lower(*args).compile()
+    except Exception:
+        return jitted, None
+    try:
+        ca = c.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        f = f if f > 0 else None
     except Exception:
-        return None
+        f = None
+    return c, f
 
 
 def _util_fields(flops_per_exec, execs_per_sec, on_tpu):
@@ -59,7 +70,9 @@ def _util_fields(flops_per_exec, execs_per_sec, on_tpu):
     if not flops_per_exec:
         return {}
     tfs = flops_per_exec * execs_per_sec / 1e12 / jax.device_count()
-    fields = {"model_tf_per_sec": round(tfs, 1)}
+    # 4 significant decimals below 1 TF/s so CPU smoke lines don't print a
+    # misleading 0.0 (they are documented as meaningless for MFU anyway)
+    fields = {"model_tf_per_sec": round(tfs, 1 if tfs >= 1 else 4)}
     if on_tpu:
         fields["mfu"] = round(tfs / V5E_BF16_PEAK_TFS, 3)
     return fields
@@ -147,11 +160,11 @@ def bench_train(on_tpu: bool):
             return st, loss
         return jax.lax.scan(body, state, jax.random.split(rng, n_steps))
 
-    flops = _cost_flops(scan_steps, state, jax.random.key(2))  # pre-exec: traces only
-    state, losses = scan_steps(state, jax.random.key(2))  # compile + warmup
+    run, flops = _compile_with_flops(scan_steps, state, jax.random.key(2))
+    state, losses = run(state, jax.random.key(2))  # warmup
     jax.device_get(losses)  # forced sync (see bench_sampling note)
     t0 = time.perf_counter()
-    state, losses = scan_steps(state, jax.random.key(3))
+    state, losses = run(state, jax.random.key(3))
     jax.device_get(losses)
     dt = (time.perf_counter() - t0) / n_steps
     img_per_sec_chip = batch / dt / jax.device_count()
@@ -209,13 +222,13 @@ def bench_sampling(on_tpu: bool, w_guide: float, metric: str, baseline: float,
     # compile + warmup (device_get forces real completion — the tunnel's
     # block_until_ready has been observed returning early in other setups;
     # these numbers are cross-validated against on-chip xprof traces)
-    flops = _cost_flops(sample, jax.random.key(1))
-    jax.device_get(sample(jax.random.key(1)))
+    run, flops = _compile_with_flops(sample, jax.random.key(1))
+    jax.device_get(run(jax.random.key(1)))
 
     n_runs = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_runs):
-        out = sample(jax.random.key(2 + i))
+        out = run(jax.random.key(2 + i))
     jax.device_get(out)
     dt = (time.perf_counter() - t0) / n_runs
 
@@ -293,12 +306,12 @@ def bench_celeba_sampling(on_tpu: bool):
             return model.apply({"params": p}, xt, t, y_, train=False)
         return diffusion.p_sample(denoise, (B, res, res, 3), r, label=y, use_ddim=True)
 
-    flops = _cost_flops(sample, params, jax.random.key(1))
-    jax.device_get(sample(params, jax.random.key(1)))  # compile + warmup
+    run, flops = _compile_with_flops(sample, params, jax.random.key(1))
+    jax.device_get(run(params, jax.random.key(1)))  # warmup
     n_runs = 2 if on_tpu else 1
     t0 = time.perf_counter()
     for i in range(n_runs):
-        out = sample(params, jax.random.key(2 + i))
+        out = run(params, jax.random.key(2 + i))
     jax.device_get(out)
     dt = (time.perf_counter() - t0) / n_runs
     value = round(B / dt / jax.device_count(), 3)
@@ -344,13 +357,14 @@ def bench_celeba_train(on_tpu: bool, params):
             return s, loss
         return jax.lax.scan(body, st, jax.random.split(r, n_steps))
 
-    # flops BEFORE any execution: the state is donated, lowering a deleted
-    # buffer is not safe. Includes remat recompute (executed-work MFU).
-    flops = _cost_flops(scan_steps, state, jax.random.key(3))
-    state, losses = scan_steps(state, jax.random.key(3))
+    # compile BEFORE any execution: the state is donated, lowering a deleted
+    # buffer is not safe. FLOPs include remat recompute (executed-work MFU);
+    # the returned executable is reused for warmup+timing (single compile).
+    run, flops = _compile_with_flops(scan_steps, state, jax.random.key(3))
+    state, losses = run(state, jax.random.key(3))
     jax.device_get(losses)
     t0 = time.perf_counter()
-    state, losses = scan_steps(state, jax.random.key(4))
+    state, losses = run(state, jax.random.key(4))
     jax.device_get(losses)
     dt = (time.perf_counter() - t0) / n_steps
     value = round(B / dt / jax.device_count(), 1)

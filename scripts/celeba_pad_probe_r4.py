@@ -38,7 +38,9 @@ def _time_scan(fn, *args):
         def body(x, _):
             return fn(x), ()
         y, _ = jax.lax.scan(body, x0, None, length=N_ITERS)
-        return y
+        # scalar result: device_get of a multi-MB array ships through the
+        # tunnel HTTP and poisons the measurement (see memory notes)
+        return jnp.sum(y.astype(jnp.float32))
 
     x0 = args[0]
     jax.device_get(chain(x0))  # compile + warmup

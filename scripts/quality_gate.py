@@ -53,12 +53,19 @@ def latest_ckpt(exp_root):
         raise FileNotFoundError(f"no runs under {exp_root}")
     # newest run by mtime (name sort would misorder non-ISO timestamps)
     ckpt_dir = os.path.join(max(runs, key=os.path.getmtime), "ckpts")
-    cands = [d for d in os.listdir(ckpt_dir) if d.startswith("ckpt_")]
+    # only integer tags + last/latest count (skips e.g. an interrupted
+    # save's ckpt_3.orbax-checkpoint-tmp-<ts>); numeric epoch order
+    # (ckpt_10 > ckpt_9), ckpt_last/latest outrank all — mirrors
+    # CheckpointManager.latest_path (train_lib.py), duplicated here so the
+    # gate driver stays jax-import-free
+    cands = [
+        d for d in os.listdir(ckpt_dir)
+        if d.startswith("ckpt_")
+        and (d.split("_", 1)[1].isdigit() or d.split("_", 1)[1] in ("last", "latest"))
+    ]
     if not cands:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
 
-    # numeric epoch order (ckpt_10 > ckpt_9); ckpt_last/latest outrank all —
-    # same key as CheckpointManager.latest_path
     def key(d):
         tag = d.split("_", 1)[1]
         return (1, 0) if tag in ("last", "latest") else (0, int(tag))

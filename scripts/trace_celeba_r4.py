@@ -53,8 +53,10 @@ def summarize(path, top_ops=18):
     print(f"{'category':<28}{'ms':>9}{'%':>7}{'TF/s':>8}")
     for cat in sorted(cat_time, key=cat_time.get, reverse=True):
         t = cat_time[cat]
-        rate = cat_flops[cat] / t / 1e3 if t else 0.0  # GF/us == TF/ms → TF/s/1e3
-        print(f"{cat:<28}{t/1e3:>9.2f}{100*t/total:>6.1f}%{rate*1e3:>8.1f}")
+        # cat_flops = Σ t(us)·gfs(GF/s): /t gives the time-weighted average
+        # GF/s, /1e3 converts to TF/s (matches the per-op gfs/1e3 below)
+        rate = cat_flops[cat] / t / 1e3 if t else 0.0
+        print(f"{cat:<28}{t/1e3:>9.2f}{100*t/total:>6.1f}%{rate:>8.1f}")
     print("\ntop ops by self time:")
     for t, occ, gfs, cat, name, expr in sorted(ops, reverse=True)[:top_ops]:
         print(f"  {t/1e3:8.2f} ms  x{occ:<5.0f} {gfs/1e3:7.2f} TF/s  [{cat}] {name}  {expr}")
@@ -124,15 +126,18 @@ def trace_train():
             return s, loss
         return jax.lax.scan(body, st, jax.random.split(r, K))
 
+    # device_get, not block_until_ready — the tunnel's block_until_ready has
+    # been observed returning early (memory notes / bench.py), which here
+    # would close the profiler context before the step finished
     state, losses = steps(state, jax.random.key(3))
-    jax.block_until_ready(losses)
+    jax.device_get(losses)
 
     from trace_common import fresh_logdir, parse_trace
 
     logdir = fresh_logdir("/tmp/celeba_train_trace_r4")
     with jax.profiler.trace(logdir):
         state, losses = steps(state, jax.random.key(4))
-        jax.block_until_ready(losses)
+        jax.device_get(losses)
     for p in parse_trace(logdir, "/tmp/celeba_train_r4", tools=("hlo_stats",)):
         summarize(p)
 

@@ -293,7 +293,8 @@ if __name__ == "__main__":
     parser.add_argument("--remat-policy", type=str, default=None, choices=["conv"],
                         help="selective remat: save conv/matmul outputs, recompute only "
                              "elementwise chains in the backward (more memory than --remat "
-                             "alone, near-zero recompute FLOPs)")
+                             "alone, near-zero recompute FLOPs); enables checkpointing by "
+                             "itself, no --remat needed")
     parser.add_argument("--prng-impl", type=str, default="rbg", choices=["rbg", "threefry2x32"],
                         help="PRNG implementation (rbg is ~18%% faster per train step on TPU)")
     parser.add_argument("--max-ckpts-kept", type=int, help="maximum number of checkpoints to keep on disk (none for no cap)")

@@ -34,7 +34,14 @@ def apply_batched(jit_fn: Callable, x, batch_size: int, mesh=None) -> np.ndarray
     if n == 0:
         # shared across three metric loaders: an empty stream must yield an
         # empty (0, ...) result, not a np.concatenate([]) crash; a zero-batch
-        # trace gives the correct output feature shape
+        # trace gives the correct output feature shape. Requires the empty
+        # to still carry its item shape — np.asarray([]) collapses to rank 1,
+        # which jit_fn would reject with an opaque NHWC shape error.
+        if x.ndim < 2:
+            raise ValueError(
+                "apply_batched: empty input must keep its item shape, e.g. "
+                f"np.zeros((0, H, W, C)) — got shape {x.shape}"
+            )
         return np.asarray(jit_fn(jnp.zeros((0,) + x.shape[1:], x.dtype)))
     outs = []
     if mesh is not None:

@@ -314,7 +314,9 @@ class UNet(nn.Module):
     # (tagged "unet_mm") are SAVED and only the cheap elementwise chains
     # (GN/FiLM/SiLU/dropout) recompute in the backward. More activation
     # memory than full per-block remat, but the backward re-executes no
-    # convolutions (the FLOPs-heavy 90% of a block).
+    # convolutions (the FLOPs-heavy 90% of a block; +0.6% executed FLOPs vs
+    # full remat's +25.2%, RUNLOG round 4). Setting a policy enables
+    # checkpointing by itself — `remat=True` is not additionally required.
     remat_policy: str | None = None
     dtype: jnp.dtype | None = None
 
@@ -331,12 +333,12 @@ class UNet(nn.Module):
         head_dim, num_heads = self.head_dim, self.num_heads
         if head_dim is None and num_heads is None:
             num_heads = 1  # reference default (unet.py:184-185)
-        if self.remat:
-            policy = None
-            if self.remat_policy == "conv":
-                policy = jax.checkpoint_policies.save_only_these_names("unet_mm")
-            elif self.remat_policy is not None:
-                raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+        policy = None
+        if self.remat_policy == "conv":
+            policy = jax.checkpoint_policies.save_only_these_names("unet_mm")
+        elif self.remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+        if self.remat or self.remat_policy is not None:
             cls = nn.remat(_ResAttn, static_argnums=(3,), policy=policy)
         else:
             cls = _ResAttn

@@ -221,7 +221,14 @@ class CheckpointManager:
     def latest_path(self) -> Optional[str]:
         if not os.path.isdir(self.ckpt_dir):
             return None
-        cands = [d for d in os.listdir(self.ckpt_dir) if d.startswith("ckpt_")]
+        # only integer tags + last/latest are checkpoints; anything else
+        # (e.g. an interrupted save's ckpt_3.orbax-checkpoint-tmp-<ts>)
+        # must be skipped, not int()-crashed on
+        cands = [
+            d for d in os.listdir(self.ckpt_dir)
+            if d.startswith("ckpt_")
+            and (d.split("_", 1)[1].isdigit() or d.split("_", 1)[1] in ("last", "latest"))
+        ]
         if not cands:
             return None
 
@@ -484,9 +491,20 @@ class Trainer:
                     batch_sharding(self.mesh, label.ndim) if has_label else None
                 )
 
+                x_sh = batch_sharding(self.mesh, 4)
+
                 def fsdp_sample(params, rng, y):
+                    def denoise_anchored(x_t, t_, y_):
+                        # anchor the batch dim every step: with only the
+                        # params sharded (feature dims) and the output
+                        # replicated, GSPMD has no data-parallel anchor for
+                        # the label-free case and may replicate the whole
+                        # batch computation on every device
+                        x_t = jax.lax.with_sharding_constraint(x_t, x_sh)
+                        return denoise(params, x_t, t_, y_)
+
                     return diffusion.p_sample(
-                        partial(denoise, params), (Bp, H, W, C), rng,
+                        denoise_anchored, (Bp, H, W, C), rng,
                         label=y if has_label else None, use_ddim=use_ddim,
                     )
 
