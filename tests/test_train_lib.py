@@ -216,3 +216,39 @@ def test_evaluator_computes_fid_with_injected_stack():
     sample_rng = np.random.RandomState(1)
     out = ev.eval(lambda b, d=None: sample_rng.randn(b, D, 1, 1))
     assert "fid" in out and out["fid"] < 0.5
+
+
+def test_latest_path_orders_numerically_and_skips_tmp_dirs(tmp_path):
+    """ckpt_10 must outrank ckpt_9 (numeric, not lexicographic), ckpt_last
+    outranks all, and non-integer tags — e.g. an interrupted Orbax save's
+    ckpt_3.orbax-checkpoint-tmp-<ts> — are skipped, not int()-crashed on.
+    The quality gate's latest_ckpt mirrors this key (scripts/quality_gate.py,
+    kept jax-import-free there)."""
+    d = tmp_path / "ck"
+    d.mkdir()
+    for name in ["ckpt_9", "ckpt_10", "ckpt_3.orbax-checkpoint-tmp-123"]:
+        (d / name).mkdir()
+    mgr = CheckpointManager(str(d), max_ckpts_kept=-1)
+    assert mgr.latest_path().endswith("ckpt_10")
+    (d / "ckpt_last").mkdir()
+    assert mgr.latest_path().endswith("ckpt_last")
+
+    # only a tmp dir present -> no usable checkpoint
+    e = tmp_path / "only_tmp"
+    e.mkdir()
+    (e / "ckpt_1.orbax-checkpoint-tmp-9").mkdir()
+    assert CheckpointManager(str(e), max_ckpts_kept=-1).latest_path() is None
+
+    # the gate's mirror agrees (module import pulls no jax)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "qg", os.path.join(os.path.dirname(__file__), "..", "scripts", "quality_gate.py")
+    )
+    qg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(qg)
+    run = tmp_path / "exps" / "2026-01-01T000000"
+    (run / "ckpts").mkdir(parents=True)
+    for name in ["ckpt_9", "ckpt_10", "ckpt_2.orbax-checkpoint-tmp-1"]:
+        (run / "ckpts" / name).mkdir()
+    assert qg.latest_ckpt(str(tmp_path / "exps")).endswith("ckpt_10")
