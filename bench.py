@@ -325,17 +325,19 @@ def bench_celeba_sampling(on_tpu: bool):
 
 
 def bench_celeba_train(on_tpu: bool, params):
-    """celeba.json train step at B=32 with remat (the one-chip recipe proven
-    in RUNLOG_TPU.md; B=64 does not fit even with remat —
-    scripts/celeba_probe_r3b.py). The TrainState is donated — input+output
-    states of the 301M model are ~4.8 GB each and coexist without donation
-    (OOM)."""
+    """celeba.json train step at B=32 WITHOUT remat — the round-4 winning
+    recipe (scripts/bench_celeba_policy_r4.py: no-remat 107.2 img/s vs 100.9
+    selective-remat vs 85.8 full-remat; round-2's OOM that forced remat
+    predates the uint16 dropout masks, bf16 GN-backward storage, native-width
+    sub-lane attention, and state donation that freed the HBM). The
+    TrainState is donated — input+output states of the 301M model are
+    ~4.8 GB each and coexist without donation (OOM)."""
     import functools
 
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
 
     unet, diffusion = _celeba(on_tpu)
-    model = unet(remat=True)
+    model = unet(remat=False)
     B = 32 if on_tpu else 2
     res = 64
     optimizer = make_optimizer(lr=3e-4, warmup=1000, grad_norm=1.0)
@@ -358,8 +360,8 @@ def bench_celeba_train(on_tpu: bool, params):
         return jax.lax.scan(body, st, jax.random.split(r, n_steps))
 
     # compile BEFORE any execution: the state is donated, lowering a deleted
-    # buffer is not safe. FLOPs include remat recompute (executed-work MFU);
-    # the returned executable is reused for warmup+timing (single compile).
+    # buffer is not safe. The returned executable is reused for warmup+timing
+    # (single compile). No remat → cost-analysis FLOPs are model FLOPs.
     run, flops = _compile_with_flops(scan_steps, state, jax.random.key(3))
     state, losses = run(state, jax.random.key(3))
     jax.device_get(losses)
@@ -369,7 +371,9 @@ def bench_celeba_train(on_tpu: bool, params):
     dt = (time.perf_counter() - t0) / n_steps
     value = round(B / dt / jax.device_count(), 1)
     print(json.dumps({
-        "metric": "celeba_train_img_per_sec_per_chip_remat",
+        # supersedes r01-r03's "..._per_chip_remat" line (recipe change:
+        # remat retired, same model/batch/step semantics)
+        "metric": "celeba_train_img_per_sec_per_chip",
         "value": value, "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_CELEBA_TRAIN_IMG_PER_SEC, 2),
         **_util_fields((flops or 0) / n_steps, 1 / dt, on_tpu),

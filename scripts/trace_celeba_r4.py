@@ -24,8 +24,13 @@ def summarize(path, top_ops=18):
     (gviz DataTable layout: {cols: [{label}...], rows: [{c: [{v}...]}...]})."""
     with open(path) as f:
         data = json.loads(f.read())
-    cols = [c.get("label") or c.get("id") for c in data["cols"]]
-    idx = {label: i for i, label in enumerate(cols)}
+    # index BOTH the label and the id of each column (tool versions differ on
+    # which spelling they emit — "HLO op category" label vs "category" id)
+    idx = {}
+    for i, c in enumerate(data["cols"]):
+        for key in (c.get("label"), c.get("id")):
+            if key:
+                idx.setdefault(key, i)
 
     def col(row, *names, default=None):
         for n in names:
@@ -38,18 +43,21 @@ def summarize(path, top_ops=18):
     cat_time, cat_flops = {}, {}
     ops = []
     for r in rows:
-        cat = col(r, "HLO Category", "category") or "?"
-        t = float(col(r, "Total Time (us)", "total_time", "Avg. time (us)", default=0) or 0)
+        cat = col(r, "HLO op category", "category") or "?"
+        # SELF time — total_time double-counts loop bodies into the while op
+        t = float(col(r, "Total self time (us)", "total_self_time", default=0) or 0)
         occ = float(col(r, "#Occurrences", "occurrences", default=1) or 1)
         gfs = float(col(r, "Model GFLOP/s", "model_flop_rate", default=0) or 0)
-        name = col(r, "HLO Op Name", "program", "hlo_op_name") or "?"
-        expr = (col(r, "HLO Op Expression", default="") or "")[:120]
+        bw = float(col(r, "Measured memory BW (GiB/s)", "measured_memory_bw", default=0) or 0)
+        bound = col(r, "Bound by", "bound_by") or "?"
+        name = col(r, "HLO op name", "hlo_op_name") or "?"
+        src = re.sub(r"<[^>]*>", "", col(r, "Source Info", "source_info") or "")
         cat_time[cat] = cat_time.get(cat, 0.0) + t
         cat_flops[cat] = cat_flops.get(cat, 0.0) + t * gfs  # GF
-        ops.append((t, occ, gfs, cat, name, expr))
+        ops.append((t, occ, gfs, bw, bound, cat, name, src))
 
     total = sum(cat_time.values()) or 1.0
-    print(f"\n=== {path}: total device time {total/1e3:.2f} ms ===")
+    print(f"\n=== {path}: total device self time {total/1e3:.2f} ms ===")
     print(f"{'category':<28}{'ms':>9}{'%':>7}{'TF/s':>8}")
     for cat in sorted(cat_time, key=cat_time.get, reverse=True):
         t = cat_time[cat]
@@ -58,8 +66,9 @@ def summarize(path, top_ops=18):
         rate = cat_flops[cat] / t / 1e3 if t else 0.0
         print(f"{cat:<28}{t/1e3:>9.2f}{100*t/total:>6.1f}%{rate:>8.1f}")
     print("\ntop ops by self time:")
-    for t, occ, gfs, cat, name, expr in sorted(ops, reverse=True)[:top_ops]:
-        print(f"  {t/1e3:8.2f} ms  x{occ:<5.0f} {gfs/1e3:7.2f} TF/s  [{cat}] {name}  {expr}")
+    for t, occ, gfs, bw, bound, cat, name, src in sorted(ops, reverse=True)[:top_ops]:
+        print(f"  {t/1e3:8.2f} ms  x{occ:<5.0f} {gfs/1e3:7.2f} TF/s {bw:6.0f} GiB/s "
+              f"[{cat}|{bound}] {name}  {src}")
 
 
 def trace_sampler():
@@ -101,7 +110,9 @@ def trace_train():
 
     B = 32
     unet, diffusion = _celeba(on_tpu=True)
-    model = unet(remat=True)
+    # no-remat is the round-4 winning recipe (scripts/bench_celeba_policy_r4.py:
+    # 107.2 img/s vs 85.8 full-remat at B=32) — trace what we ship
+    model = unet(remat=False)
     optimizer = make_optimizer(lr=3e-4, warmup=1000, grad_norm=1.0)
     rng = jax.random.key(0)
     params = model.init(
