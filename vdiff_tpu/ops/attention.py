@@ -191,18 +191,23 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = _bmm(q * scale, k, 2, 2)
-    p = jax.nn.softmax(s, axis=-1)  # (G, Tq, Tk)
-    dv = _bmm(p, do, 1, 1)  # (G, Tk, C)
+    """Whole-(T,T) backward. Matmul operands stay in the INPUT dtype (same
+    native-MXU-mode treatment as ``_attn_bwd_kernel_qblk`` — f32 accumulation
+    via ``preferred_element_type``; softmax/ds algebra f32; p/ds rounded to
+    the input dtype only as matmul operands, below the bf16 output rounding).
+    f32 inputs are unchanged (the casts become no-ops)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = _bmm(q, k, 2, 2) * scale
+    p = jax.nn.softmax(s, axis=-1)  # f32 (G, Tq, Tk)
     dp = _bmm(do, v, 2, 2)  # (G, Tq, Tk)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+    pn = p.astype(q.dtype)
     dq_ref[0] = (_bmm(ds, k, 2, 1) * scale).astype(dq_ref.dtype)
     dk_ref[0] = (_bmm(ds, q, 1, 1) * scale).astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+    dv_ref[0] = _bmm(pn, do, 1, 1).astype(dv_ref.dtype)
 
 
 def _attn_fwd_kernel_qblk(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -221,7 +226,16 @@ def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                           *, scale: float):
     """q-blocked backward: dq per q-block; dk/dv accumulate in their (f32)
     output block, which stays VMEM-resident across the q-block grid steps of
-    one (batch*head)."""
+    one (batch*head).
+
+    Matmul operands stay in the INPUT dtype: bf16 inputs feed the MXU in its
+    fast native mode with f32 accumulation via ``preferred_element_type``
+    (measured +7.8% at celeba's T=4096/C=64 up-resample attention,
+    scripts/bench_attn_bwd_r4.py, vs casting everything to f32 on entry); for
+    f32 inputs the ``astype`` calls are no-ops, so that path is unchanged.
+    Softmax and the ds algebra stay f32 — only the p/ds MATMUL OPERANDS are
+    rounded to the input dtype, which for bf16 sits below the bf16 output
+    rounding of dq/dk/dv (measured max|d| = 0 after output rounding)."""
     qb = pl.program_id(1)
 
     @pl.when(qb == 0)
@@ -229,17 +243,22 @@ def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)  # (Bq, T)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    q = q_ref[0]    # (bq, C), input dtype
+    k = k_ref[0]    # (T, C)
+    v = v_ref[0]    # (T, C)
+    do = do_ref[0]  # (bq, C)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)  # f32 (bq, T)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+    pn = p.astype(q.dtype)
     dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-    dk_ref[0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
-    dv_ref[0] += jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    dk_ref[0] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+    dv_ref[0] += jax.lax.dot_general(pn, do, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
 
 
 _QBLK_THRESHOLD = 512  # above this, whole-(T,T) tiles stop fitting VMEM
@@ -324,7 +343,12 @@ def _flash_trainable_fwd(q, k, v, interpret):
     BN, T, C = q.shape
     scale = 1.0 / math.sqrt(C)
     if T > _QBLK_THRESHOLD:
-        bq = _pick_qblk(T, C)
+        # The forward has no dk/dv accumulators in its working set, so it can
+        # take the looser INFERENCE q-block budget — at celeba's T=4096/C=64
+        # bq=512 runs 76 TF/s where the training picker's bq=64 managed only
+        # 53 (scripts/trace_celeba_r4.py). Falls back to the training picker
+        # when the inference candidates (512/256/128) don't divide T or fit.
+        bq = _pick_qblk_fwd(T, C) or _pick_qblk(T, C)
         if bq == 0:
             raise ValueError(
                 f"flash_attention_trainable: no q-block fits VMEM for T={T}, C={C}; "
