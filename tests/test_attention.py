@@ -298,3 +298,24 @@ def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         out = A.spatial_attention_qkv(qkv, N, use_flash=True, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("N,C", [(2, 64), (4, 32)])
+def test_pack_fwd_matches_xla(N, C):
+    """Packed sub-lane kernel (H=128/C heads per 128-wide lane block, read
+    straight off the fused qkv — no fold/unfold copies) ≡ XLA attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops.attention import _pack_fwd_call, _pick_qblk_pack
+
+    B, T = 2, 256
+    rng = np.random.RandomState(11)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+    bq = _pick_qblk_pack(T, C)
+    assert bq == 256
+    with pltpu.force_tpu_interpret_mode():
+        out = _pack_fwd_call(qkv, N, C, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

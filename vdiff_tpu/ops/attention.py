@@ -300,6 +300,57 @@ def _pick_qblk_fwd(T: int, C: int) -> int:
     return 0
 
 
+def _attn_fwd_kernel_pack(q_ref, k_ref, v_ref, o_ref, *, scale: float, C: int):
+    """H = 128//C sub-lane heads PACKED side by side in one 128-wide lane
+    block, computed per-head with in-register lane slices. Blocks are taken
+    straight out of the fused (B, T, 3·N·C) qkv at 128-aligned column offsets
+    — a legal BlockSpec where per-head C=64 offsets are not (Mosaic: the last
+    block dim must be ≡0 mod 128 or span it) — so the HBM split/head-transpose
+    copies of the folded layout never materialize (measured 1.39x at celeba's
+    T=1024/C=64 shape, scripts/bench_attn_pair_r4.py)."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, 128)
+    k = k_ref[0].astype(jnp.float32)          # (T, 128)
+    v = v_ref[0].astype(jnp.float32)
+    outs = []
+    for h in range(q.shape[-1] // C):
+        sl = slice(h * C, (h + 1) * C)
+        s = jnp.dot(q[:, sl], k[:, sl].T, preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        outs.append(jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32))
+    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _pick_qblk_pack(T: int, C: int) -> int:
+    """Largest q-block for the packed sub-lane forward; 0 = none. Working set:
+    f32 k/v casts (T, 128) ×2 + H (bq, T) score tiles (assume all H live —
+    Mosaic does not prove the unrolled heads' buffers reusable) + q/out."""
+    H = 128 // C
+    for bq in (512, 256, 128):
+        vmem = 2 * T * 128 * 4 + H * bq * T * 4 + 2 * bq * 128 * 4
+        if T % bq == 0 and vmem <= 12 * 1024 * 1024:
+            return bq
+    return 0
+
+
+def _pack_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = False):
+    """Packed sub-lane attention on the fused qkv: (B, T, 3·N·C) → (B, T, N·C)
+    with zero reshape/transpose copies (see ``_attn_fwd_kernel_pack``)."""
+    B, T, _ = qkv.shape
+    NC = num_heads * C
+    nblk = NC // 128  # head packs
+    spec = lambda off: pl.BlockSpec(
+        (1, T, 128), lambda b, p, i, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_q = pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel_pack, scale=1.0 / math.sqrt(C), C=C),
+        grid=(B, nblk, T // bq),
+        in_specs=[spec_q, spec(nblk), spec(2 * nblk)],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, NC), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
 def _qblk_fwd_call(q, k, v, bq: int, interpret: bool = False):
     """The q-blocked direct-softmax forward pallas_call, shared by the
     training fwd (``_flash_trainable_fwd``) and the native sub-lane inference
