@@ -300,10 +300,13 @@ def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("N,C", [(2, 64), (4, 32)])
+@pytest.mark.parametrize("N,C", [(2, 64), (4, 32), (6, 64), (8, 32)])
 def test_pack_fwd_matches_xla(N, C):
     """Packed sub-lane kernel (H=128/C heads per 128-wide lane block, read
-    straight off the fused qkv — no fold/unfold copies) ≡ XLA attention."""
+    straight off the fused qkv — no fold/unfold copies) ≡ XLA attention.
+    (6, 64) and (8, 32) give nblk > 1 head-pack blocks, exercising the
+    multi-block k/v column index maps (b, 0, nblk+p) / (b, 0, 2·nblk+p) at
+    celeba's production nblk=3 (N=6, C=64)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from vdiff_tpu.ops.attention import _pack_fwd_call, _pick_qblk_pack
@@ -319,3 +322,59 @@ def test_pack_fwd_matches_xla(N, C):
     with pltpu.force_tpu_interpret_mode():
         out = _pack_fwd_call(qkv, N, C, bq, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pack_fwd_rejects_untileable_heads():
+    """The guards added for the silent-truncation hazard: NC % 128 != 0 (e.g.
+    celeba level-2's N=9, C=64 → NC=576) and non-dividing C must raise, not
+    leave output columns uninitialized."""
+    from vdiff_tpu.ops.attention import _pack_fwd_call
+
+    qkv = jnp.zeros((1, 128, 3 * 9 * 64), jnp.float32)
+    with pytest.raises(AssertionError):
+        _pack_fwd_call(qkv, 9, 64, 128, interpret=True)
+    qkv96 = jnp.zeros((1, 128, 3 * 4 * 96), jnp.float32)
+    with pytest.raises(AssertionError):
+        _pack_fwd_call(qkv96, 4, 96, 128, interpret=True)
+
+
+def test_spatial_attention_qkv_sublane_inference_routes_packed(monkeypatch):
+    """Inference dispatch for sub-lane heads: celeba's (N=6, C=64) shape must
+    take the PACKED zero-copy kernel; an NC % 128 != 0 shape (N=9, C=64,
+    celeba level 2) must fall back to the folded q-block path. Values ≡ XLA
+    both ways."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops import attention as A
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    packed, folded = [], []
+    orig_pack, orig_qblk = A._pack_fwd_call, A._qblk_fwd_call
+    monkeypatch.setattr(A, "_pack_fwd_call",
+                        lambda *a, **k: packed.append(1) or orig_pack(*a, **k))
+    monkeypatch.setattr(A, "_qblk_fwd_call",
+                        lambda *a, **k: folded.append(1) or orig_qblk(*a, **k))
+
+    def ref(qkv, N, C):
+        B, T = qkv.shape[0], qkv.shape[1]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return _xla_attention(tok(q), tok(k), tok(v))
+
+    rng = np.random.RandomState(17)
+    B, T, C = 1, 128, 64
+
+    qkv6 = jnp.asarray(rng.randn(B, T, 3 * 6 * C).astype(np.float32) * 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        out6 = A.spatial_attention_qkv(qkv6, 6, use_flash=True, train=False)
+    assert packed and not folded, "N=6/C=64 must route to the packed kernel"
+    np.testing.assert_allclose(np.asarray(out6), np.asarray(ref(qkv6, 6, C)),
+                               rtol=1e-4, atol=1e-4)
+
+    packed.clear()
+    qkv9 = jnp.asarray(rng.randn(B, T, 3 * 9 * C).astype(np.float32) * 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        out9 = A.spatial_attention_qkv(qkv9, 9, use_flash=True, train=False)
+    assert folded and not packed, "NC=576 must fall back to the folded q-block path"
+    np.testing.assert_allclose(np.asarray(out9), np.asarray(ref(qkv9, 9, C)),
+                               rtol=1e-4, atol=1e-4)

@@ -334,9 +334,17 @@ def _pick_qblk_pack(T: int, C: int) -> int:
 
 def _pack_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = False):
     """Packed sub-lane attention on the fused qkv: (B, T, 3·N·C) → (B, T, N·C)
-    with zero reshape/transpose copies (see ``_attn_fwd_kernel_pack``)."""
+    with zero reshape/transpose copies (see ``_attn_fwd_kernel_pack``). This is
+    the active inference path for sub-lane heads when the preconditions hold
+    (``spatial_attention_qkv`` gates on them before routing here)."""
     B, T, _ = qkv.shape
     NC = num_heads * C
+    # Preconditions (violations would silently truncate the grid / leave
+    # output columns uninitialized): every 128-wide lane block must hold an
+    # integral number of whole heads, and the heads must tile NC exactly.
+    assert NC % 128 == 0 and 128 % C == 0, (
+        f"_pack_fwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+    )
     nblk = NC // 128  # head packs
     spec = lambda off: pl.BlockSpec(
         (1, T, 128), lambda b, p, i, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
@@ -532,14 +540,26 @@ def spatial_attention_qkv(
     if use_flash and on_tpu and train and _flash_train_ok(T, Cn):
         return unfolded(flash_attention_trainable(*folded(pad=Cn != C)))
     if use_flash and on_tpu and not train and T % 128 == 0:
-        # sub-lane heads at inference: NATIVE-width direct-softmax q-blocked
-        # kernel, no zero-padding. A block that spans the full (sub-lane) last
-        # dim is legal in Pallas for power-of-two widths (32/64 — same rule
-        # the training gate enforces), so q/k/v stay (BN, T, C) with C=64 —
-        # no padded copies materialize. Measured at the celeba level-1 shape
-        # (B=32, T=1024, N=6, C=64; scripts/bench_attn_celeba_r3.py): 1.48x
-        # over the padded online-softmax path (2547 vs 3764 us), which the
-        # celeba sampler trace showed eating 42% of its step.
+        # sub-lane heads at inference, preferred order:
+        #   1. PACKED kernel straight off the fused qkv (zero fold/unfold
+        #      copies): legal when whole heads tile the 128-lane blocks
+        #      (NC % 128 == 0 and 128 % C == 0, i.e. C ∈ {32, 64}) and a
+        #      q-block fits VMEM. Measured 1.39x over the folded q-block path
+        #      at celeba's T=1024/C=64 shape (scripts/bench_attn_pair_r4.py) —
+        #      the split + head-transpose copies it kills were trace-billed
+        #      ~13% of the celeba sampling step (RUNLOG_TPU.md r4).
+        if C in (32, 64) and (N * C) % 128 == 0:
+            bq = _pick_qblk_pack(T, C)
+            if bq:
+                return _pack_fwd_call(qkv, N, C, bq)
+        #   2. NATIVE-width direct-softmax q-blocked kernel on the folded
+        #      layout, no zero-padding. A block that spans the full (sub-lane)
+        #      last dim is legal in Pallas for power-of-two widths (32/64 —
+        #      same rule the training gate enforces), so q/k/v stay (BN, T, C)
+        #      with C=64 — no padded value copies materialize. Measured at the
+        #      celeba level-1 shape (B=32, T=1024, N=6, C=64;
+        #      scripts/bench_attn_celeba_r3.py): 1.48x over the padded
+        #      online-softmax path (2547 vs 3764 us).
         bq = _pick_qblk_fwd(T, C) if C in (32, 64) else 0
         if bq:
             q, k, v = folded(pad=False)
