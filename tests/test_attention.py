@@ -378,3 +378,90 @@ def test_spatial_attention_qkv_sublane_inference_routes_packed(monkeypatch):
     assert folded and not packed, "NC=576 must fall back to the folded q-block path"
     np.testing.assert_allclose(np.asarray(out9), np.asarray(ref(qkv9, 9, C)),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("N,C", [(6, 64), (4, 32)])
+def test_pack_trainable_matches_xla(N, C):
+    """Packed custom-VJP path (training): value AND d(qkv) vs autodiff through
+    the XLA attention — the packed backward kernel's per-head lane slices,
+    dk/dv accumulation across q-block grid steps, and the d(qkv) assembly."""
+    from vdiff_tpu.ops import attention as A
+
+    B, T = 2, 256
+    rng = np.random.RandomState(23)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    assert A._pick_qblk_pack_bwd(T, C) > 0  # the packed backward is in play
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    def loss_pack(qkv):
+        return jnp.sum(A.pack_attention_trainable(qkv, N, C, True) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    v_got, g_got = jax.value_and_grad(loss_pack)(qkv)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pack_trainable_folded_bwd_fallback(monkeypatch):
+    """When no packed-backward q-block fits VMEM (celeba's T=4096 shape), the
+    VJP falls back to the folded backward — grads must still match XLA."""
+    from vdiff_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_pick_qblk_pack_bwd", lambda T, C: 0)
+    B, T, N, C = 1, 256, 2, 64
+    rng = np.random.RandomState(29)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    def loss_pack(qkv):
+        return jnp.sum(A.pack_attention_trainable(qkv, N, C, True) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    v_got, g_got = jax.value_and_grad(loss_pack)(qkv)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_attention_qkv_sublane_train_routes_packed(monkeypatch):
+    """Training dispatch: celeba's sub-lane head shape (N=6, C=64) must take
+    the packed custom-VJP path; values + grads ≡ XLA. An NC % 128 != 0 shape
+    (N=9) must not."""
+    from vdiff_tpu.ops import attention as A
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    routed = []
+    orig = A.pack_attention_trainable
+    monkeypatch.setattr(A, "pack_attention_trainable",
+                        lambda qkv, n, c: routed.append(1) or orig(qkv, n, c, True))
+    # keep the N=9 shape off the real (uninterpreted) folded kernels on CPU
+    monkeypatch.setattr(A, "_flash_train_ok", lambda T, C: False)
+
+    B, T, C = 1, 128, 64
+    rng = np.random.RandomState(31)
+    qkv6 = jnp.asarray(rng.randn(B, T, 3 * 6 * C).astype(np.float32) * 0.5)
+
+    def ref6(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, 6, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    v_got, g_got = jax.value_and_grad(
+        lambda q: jnp.sum(A.spatial_attention_qkv(q, 6, use_flash=True, train=True) ** 2)
+    )(qkv6)
+    assert routed, "N=6/C=64 training must route to pack_attention_trainable"
+    v_ref, g_ref = jax.value_and_grad(ref6)(qkv6)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+    routed.clear()
+    qkv9 = jnp.asarray(rng.randn(B, T, 3 * 9 * C).astype(np.float32) * 0.5)
+    A.spatial_attention_qkv(qkv9, 9, use_flash=True, train=True)
+    assert not routed, "NC=576 must not take the packed training path"

@@ -359,6 +359,127 @@ def _pack_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = False
     )(qkv, qkv, qkv)
 
 
+def _attn_bwd_kernel_pack(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                          *, scale: float, C: int):
+    """Packed sub-lane backward: H = 128//C heads per 128-wide lane block,
+    read straight off the fused qkv (same zero-copy BlockSpec scheme as
+    ``_attn_fwd_kernel_pack``). dq per q-block; dk/dv accumulate in f32
+    output blocks that stay VMEM-resident across the innermost q-block grid
+    dim. Matmul operands stay in the INPUT dtype (the r4-measured native-MXU
+    treatment, see ``_attn_bwd_kernel_qblk``); softmax/ds algebra f32."""
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0]    # (bq, 128), input dtype
+    k = k_ref[0]    # (T, 128)
+    v = v_ref[0]
+    do = do_ref[0]  # (bq, 128)
+    dqs, dks, dvs = [], [], []
+    for h in range(128 // C):
+        sl = slice(h * C, (h + 1) * C)
+        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)  # f32 (bq, T)
+        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+        pn = p.astype(q.dtype)
+        dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
+        dks.append(jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32) * scale)
+        dvs.append(jax.lax.dot_general(pn, doh, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32))
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+    dk_ref[0] += jnp.concatenate(dks, axis=-1)
+    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
+
+
+def _pick_qblk_pack_bwd(T: int, C: int) -> int:
+    """Largest q-block for the packed sub-lane BACKWARD; 0 = none (caller
+    falls back to the folded backward). Working set: k/v blocks + f32 dk/dv
+    accumulators (T, 128) + ~4 (bq, T) f32 score/ds temporaries per unrolled
+    head (the sub-lane Mosaic undercount lesson from ``_pick_qblk`` applied:
+    assume one extra live tile per head beyond the analytical 3) under the
+    tight 8 MB sub-lane budget. T=1024/C=64 → 128; T=4096 → 0 (the k/v +
+    accumulator term alone exceeds the budget)."""
+    H = 128 // C
+    for bq in (256, 128, 64, 32):
+        vmem = 4 * T * 128 * 4 + 4 * H * bq * T * 4 + 3 * bq * 128 * 4
+        if T % bq == 0 and vmem <= 8 * 1024 * 1024:
+            return bq
+    return 0
+
+
+def _pack_bwd_call(qkv, g, num_heads: int, C: int, bq: int, interpret: bool = False):
+    """Packed backward pallas_call: (qkv, g) → (dq, dk_f32, dv_f32), each
+    (B, T, N·C) in the packed head layout (no fold/unfold copies)."""
+    B, T, _ = qkv.shape
+    NC = num_heads * C
+    assert NC % 128 == 0 and 128 % C == 0, (
+        f"_pack_bwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+    )
+    nblk = NC // 128
+    spec_kv = lambda off: pl.BlockSpec(
+        (1, T, 128), lambda b, p, i, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM)
+    spec_acc = pl.BlockSpec((1, T, 128), lambda b, p, i: (b, 0, p), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_pack, scale=1.0 / math.sqrt(C), C=C),
+        grid=(B, nblk, T // bq),
+        in_specs=[spec_blk, spec_kv(nblk), spec_kv(2 * nblk), spec_blk],
+        out_specs=[spec_blk, spec_acc, spec_acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, NC), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, NC), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, NC), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pack_attention_trainable(qkv, num_heads: int, C: int, interpret: bool = False):
+    """Differentiable packed sub-lane attention straight off the fused qkv:
+    (B, T, 3·N·C) → (B, T, N·C). The forward is ``_pack_fwd_call`` (zero
+    fold/unfold copies — the r4 celeba train trace billed those copies at
+    18.6% of the step); the backward is the packed kernel when its q-block
+    fits VMEM, else the folded custom-VJP backward (fwd copies still dead,
+    bwd ones return). Callers gate on ``_pick_qblk_pack`` > 0."""
+    return _pack_train_fwd(qkv, num_heads, C, interpret)[0]
+
+
+def _pack_train_fwd(qkv, num_heads, C, interpret):
+    bq = _pick_qblk_pack(qkv.shape[1], C)
+    return _pack_fwd_call(qkv, num_heads, C, bq, interpret), qkv
+
+
+def _pack_train_bwd(num_heads, C, interpret, qkv, g):
+    B, T, _ = qkv.shape
+    N = num_heads
+    bq = _pick_qblk_pack_bwd(T, C)
+    if bq:
+        dq, dk, dv = _pack_bwd_call(qkv, g, N, C, bq, interpret)
+        # the one remaining copy: assembling d(qkv); cheaper than the folded
+        # path's split + 2×3 head-transposes + concat
+        return (jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+                                axis=-1),)
+    # fallback (e.g. celeba's T=4096 up-resample attention, where the packed
+    # backward working set exceeds VMEM): the folded custom-VJP backward
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    fold = lambda a: a.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
+    dq, dk, dv = _flash_trainable_bwd(interpret, (fold(q), fold(k), fold(v)), fold(g))
+    unfold = lambda a: a.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
+    return (jnp.concatenate([unfold(dq), unfold(dk), unfold(dv)], axis=-1),)
+
+
+pack_attention_trainable.defvjp(_pack_train_fwd, _pack_train_bwd)
+
+
 def _qblk_fwd_call(q, k, v, bq: int, interpret: bool = False):
     """The q-blocked direct-softmax forward pallas_call, shared by the
     training fwd (``_flash_trainable_fwd``) and the native sub-lane inference
@@ -534,6 +655,15 @@ def spatial_attention_qkv(
     def unfolded(out):
         return out[..., :C].reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
 
+    # training, sub-lane heads: PACKED custom-VJP path straight off the fused
+    # qkv (same head-tiling preconditions as the inference packed gate) —
+    # kills the fold/unfold copies the r4 celeba train trace billed at 18.6%
+    # of the step. Requires a packed forward q-block, and either a packed
+    # backward q-block or the folded backward as in-VJP fallback.
+    if (use_flash and on_tpu and train and T % 128 == 0 and C in (32, 64)
+            and (N * C) % 128 == 0 and _pick_qblk_pack(T, C)
+            and (_pick_qblk_pack_bwd(T, C) or _flash_train_ok(T, C))):
+        return pack_attention_trainable(qkv, N, C)
     # training: native width when legal (C lane-aligned OR sub-lane 32/64 —
     # blocks span the full last dim), zero-padded lane width otherwise
     Cn = C if _flash_train_ok(T, C) else Cp
