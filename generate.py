@@ -77,6 +77,11 @@ def main(args):
         load_experiment_config,
     )
 
+    args.eta = getattr(args, "eta", 0.0)  # optional for programmatic callers
+    if args.eta and not args.use_ddim:
+        raise SystemExit("--eta is a DDIM noise level; pass --use-ddim with it "
+                         "(the ancestral sampler ignores eta, as in the reference)")
+
     params, head_keys, is_torch = load_checkpoint_params(args.ckpt_path, use_ema=args.use_ema)
     # CFG inferred from presence of class_embed params (reference generate.py:44)
     use_cfg = "class_embed" in head_keys
@@ -162,7 +167,7 @@ def main(args):
         def sample_batch(rng, labels):
             x0, preds = diffusion.p_sample_progressive(
                 denoise_fn, shape, rng, label=labels,
-                use_ddim=args.use_ddim, pred_freq=args.pred_freq,
+                use_ddim=args.use_ddim, pred_freq=args.pred_freq, eta=args.eta,
             )
             return preds  # (L, B, H, W, C) snapshot trajectory
 
@@ -170,7 +175,7 @@ def main(args):
 
         def _sample(rng, labels):
             return diffusion.p_sample(denoise_fn, shape, rng, label=labels,
-                                      use_ddim=args.use_ddim)
+                                      use_ddim=args.use_ddim, eta=args.eta)
 
         # under --dp the constrained output sharding back-propagates through
         # the scan: every per-step activation splits on the batch axis
@@ -210,6 +215,10 @@ if __name__ == "__main__":
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--use-ema", action="store_true")
     parser.add_argument("--use-ddim", action="store_true")
+    parser.add_argument("--eta", type=float, default=0.0,
+                        help="DDIM noise level (with --use-ddim): 0 deterministic, "
+                             "1 ≡ ancestral fixed_small, 0<eta<1 the general "
+                             "interpolation (reference diffusion.py:169-203)")
     parser.add_argument("--sample-timesteps", type=int, default=1024)
     parser.add_argument("--uncond", action="store_true")
     parser.add_argument("--w-guide", type=float, default=0.1)

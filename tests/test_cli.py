@@ -90,6 +90,7 @@ def test_generate_from_orbax_checkpoint(tmp_path):
             "--batch-size", "8",
             "--sample-timesteps", "2",
             "--use-ema", "--use-ddim", "--dp",
+            "--eta", "0.5",  # general-η DDIM through the CLI surface
         ],
     )
     dp_pngs = []
@@ -107,6 +108,14 @@ def test_generate_from_orbax_checkpoint(tmp_path):
                  "--sample-timesteps", "2", "--total-size", "2",
                  "--batch-size", "2"] + bad,
             )
+    # --eta is a DDIM knob: without --use-ddim it must exit with a message
+    with pytest.raises(SystemExit):
+        _run_cli(
+            "generate.py",
+            ["--config-path", CONFIG, "--ckpt-path", ckpt_path,
+             "--save-dir", str(tmp_path / "x"), "--eta", "0.5",
+             "--sample-timesteps", "2", "--total-size", "2", "--batch-size", "2"],
+        )
 
 
 def test_eval_nll_passes_labels_for_conditional_ckpt(tmp_path, monkeypatch):

@@ -219,11 +219,15 @@ class GaussianDiffusion:
     # sampling — host-precomputed f64 step tables + one lax.scan
     # ------------------------------------------------------------------
 
-    def sample_tables(self, use_ddim: bool = False):
+    def sample_tables(self, use_ddim: bool = False, eta: float = 0.0):
         """Precompute per-step scalars in numpy float64 (host), f32 on device.
 
         Row ``i`` of each table corresponds to reverse step ``ti = T-1-i`` so a
-        forward scan walks t from 1 → 0.
+        forward scan walks t from 1 → 0. ``eta`` selects the DDIM noise level
+        (reference diffusion.py:169-203): 0 = deterministic, 1 ≡ ancestral
+        fixed_small, 0<η<1 the general interpolation; ignored when
+        ``use_ddim`` is False (matching the reference, whose ancestral branch
+        never sees eta).
         """
         T = self.sample_timesteps
         ti = np.arange(T - 1, -1, -1, dtype=np.float64)  # T-1 .. 0
@@ -233,7 +237,7 @@ class GaussianDiffusion:
         logsnr_t, model_t = self.logsnr_fn(t)
 
         if use_ddim:
-            coefs = N.logsnr_to_posterior_ddim(logsnr_s, logsnr_t, eta=0.0, x0eps_coef=self.x0eps_coef)
+            coefs = N.logsnr_to_posterior_ddim(logsnr_s, logsnr_t, eta=eta, x0eps_coef=self.x0eps_coef)
         else:
             var_type = self.model_var_type
             intp = self.intp_frac
@@ -334,12 +338,14 @@ class GaussianDiffusion:
         label=None,
         use_ddim=False,
         clip_denoised=True,
+        eta=0.0,
     ):
         """Full T-step ancestral/DDIM sampling as one lax.scan (diffusion.py:394-414).
 
         Wrap in ``jax.jit`` at the call site (denoise_fn closes over weights).
+        ``eta``: DDIM noise level (only with ``use_ddim``; see sample_tables).
         """
-        tables = self.sample_tables(use_ddim=use_ddim)
+        tables = self.sample_tables(use_ddim=use_ddim, eta=eta)
         init_rng, step_rng = jax.random.split(rng)
         if noise is None:
             x_T = jax.random.normal(init_rng, shape, jnp.float32)
@@ -351,7 +357,7 @@ class GaussianDiffusion:
             # DDIM η=0 is deterministic: skip the per-step normal draw entirely
             eps = (
                 None
-                if use_ddim
+                if (use_ddim and eta == 0.0)
                 else jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
             )
             x_next, _ = self._p_sample_step(
@@ -373,13 +379,14 @@ class GaussianDiffusion:
         label=None,
         use_ddim=False,
         pred_freq: int = 50,
+        eta=0.0,
     ):
         """Sampling that also returns intermediate x̂_0 snapshots every
         ``pred_freq`` steps (diffusion.py:416-441). Nested scan: outer emits one
         snapshot per chunk, keeping on-chip memory at O(L·B·img)."""
         T = self.sample_timesteps
         L = T // pred_freq
-        tables = self.sample_tables(use_ddim=use_ddim)
+        tables = self.sample_tables(use_ddim=use_ddim, eta=eta)
         init_rng, step_rng = jax.random.split(rng)
         x_T = jax.random.normal(init_rng, shape, jnp.float32) if noise is None else noise
 
@@ -389,7 +396,7 @@ class GaussianDiffusion:
             i, row = inp
             eps = (
                 None
-                if use_ddim
+                if (use_ddim and eta == 0.0)
                 else jax.random.normal(jax.random.fold_in(step_rng, i), shape, x.dtype)
             )
             x_next, pred = self._p_sample_step(
