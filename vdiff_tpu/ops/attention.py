@@ -657,12 +657,16 @@ def spatial_attention_qkv(
 
     # training, sub-lane heads: PACKED custom-VJP path straight off the fused
     # qkv (same head-tiling preconditions as the inference packed gate) —
-    # kills the fold/unfold copies the r4 celeba train trace billed at 18.6%
-    # of the step. Requires a packed forward q-block, and either a packed
-    # backward q-block or the folded backward as in-VJP fallback.
+    # kills the fold/unfold copies around the VJP. Gated on a PACKED backward
+    # q-block existing: chip measurement (scripts/bench_attn_train_pack_r5.py)
+    # shows packed fwd+bwd 1.02x over folded at T=1024 but the packed-fwd +
+    # folded-bwd-fallback combination 0.95x at T=4096 (the packed fwd's
+    # bq=128 loses to the folded fwd's bq=512 there, and the fallback moves
+    # the fold copies into the backward instead of removing them) — so
+    # fallback-needing shapes stay on the folded path below.
     if (use_flash and on_tpu and train and T % 128 == 0 and C in (32, 64)
             and (N * C) % 128 == 0 and _pick_qblk_pack(T, C)
-            and (_pick_qblk_pack_bwd(T, C) or _flash_train_ok(T, C))):
+            and _pick_qblk_pack_bwd(T, C)):
         return pack_attention_trainable(qkv, N, C)
     # training: native width when legal (C lane-aligned OR sub-lane 32/64 —
     # blocks span the full last dim), zero-padded lane width otherwise
