@@ -9,7 +9,7 @@ This A/Bs the exact bench recipe in one process:
   canary: one 8192^3 bf16 matmul (chip/tunnel health — if the chip itself is
           slow today, both configs shift together and the canary shows it)
   A. HEAD dispatch (packed training attention at T=1024, folded at T=4096)
-  B. folded everywhere (_pick_qblk_pack_bwd forced 0 → the exact r4 path)
+  B. folded everywhere (packed-backward picker forced 0 → the exact r4 path)
 
 If B recovers ~110, the packed training path is an in-model loss and comes
 out of the dispatch; if A≈B≈100, the regression is chip/tunnel state, not
@@ -104,12 +104,12 @@ def main():
 
     run_config("A packed-T1024 (HEAD)", params_host)
 
-    orig = A._pick_qblk_pack_bwd
-    A._pick_qblk_pack_bwd = lambda T, C: 0
+    orig = A._pick_qblk_pack1_bwd
+    A._pick_qblk_pack1_bwd = lambda T, C: 0
     try:
         run_config("B folded (r4 path) ", params_host)
     finally:
-        A._pick_qblk_pack_bwd = orig
+        A._pick_qblk_pack1_bwd = orig
 
 
 if __name__ == "__main__":

@@ -300,42 +300,21 @@ def test_spatial_attention_qkv_padded_heads_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref(qkv)), rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("N,C", [(2, 64), (4, 32), (6, 64), (8, 32)])
-def test_pack_fwd_matches_xla(N, C):
-    """Packed sub-lane kernel (H=128/C heads per 128-wide lane block, read
-    straight off the fused qkv — no fold/unfold copies) ≡ XLA attention.
-    (6, 64) and (8, 32) give nblk > 1 head-pack blocks, exercising the
-    multi-block k/v column index maps (b, 0, nblk+p) / (b, 0, 2·nblk+p) at
-    celeba's production nblk=3 (N=6, C=64)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    from vdiff_tpu.ops.attention import _pack_fwd_call, _pick_qblk_pack
-
-    B, T = 2, 256
-    rng = np.random.RandomState(11)
-    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    tok = lambda a: a.reshape(B, T, N, C)
-    ref = _xla_attention(tok(q), tok(k), tok(v))
-    bq = _pick_qblk_pack(T, C)
-    assert bq == 256
-    with pltpu.force_tpu_interpret_mode():
-        out = _pack_fwd_call(qkv, N, C, bq, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
-
-
 def test_pack_fwd_rejects_untileable_heads():
-    """The guards added for the silent-truncation hazard: NC % 128 != 0 (e.g.
+    """The guards for the silent-truncation hazard: NC % 128 != 0 (e.g.
     celeba level-2's N=9, C=64 → NC=576) and non-dividing C must raise, not
-    leave output columns uninitialized."""
-    from vdiff_tpu.ops.attention import _pack_fwd_call
+    leave output columns uninitialized — both directions."""
+    from vdiff_tpu.ops.attention import _pack1_bwd_call, _pack1_fwd_call
 
     qkv = jnp.zeros((1, 128, 3 * 9 * 64), jnp.float32)
     with pytest.raises(AssertionError):
-        _pack_fwd_call(qkv, 9, 64, 128, interpret=True)
+        _pack1_fwd_call(qkv, 9, 64, 128, interpret=True)
     qkv96 = jnp.zeros((1, 128, 3 * 4 * 96), jnp.float32)
     with pytest.raises(AssertionError):
-        _pack_fwd_call(qkv96, 4, 96, 128, interpret=True)
+        _pack1_fwd_call(qkv96, 4, 96, 128, interpret=True)
+    g = jnp.zeros((1, 128, 9 * 64), jnp.float32)
+    with pytest.raises(AssertionError):
+        _pack1_bwd_call(qkv, g, 9, 64, 128, interpret=True)
 
 
 def test_spatial_attention_qkv_sublane_inference_routes_packed(monkeypatch):
@@ -349,8 +328,8 @@ def test_spatial_attention_qkv_sublane_inference_routes_packed(monkeypatch):
 
     monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
     packed, folded = [], []
-    orig_pack, orig_qblk = A._pack_fwd_call, A._qblk_fwd_call
-    monkeypatch.setattr(A, "_pack_fwd_call",
+    orig_pack, orig_qblk = A._pack1_fwd_call, A._qblk_fwd_call
+    monkeypatch.setattr(A, "_pack1_fwd_call",
                         lambda *a, **k: packed.append(1) or orig_pack(*a, **k))
     monkeypatch.setattr(A, "_qblk_fwd_call",
                         lambda *a, **k: folded.append(1) or orig_qblk(*a, **k))
@@ -390,7 +369,7 @@ def test_pack_trainable_matches_xla(N, C):
     B, T = 2, 256
     rng = np.random.RandomState(23)
     qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
-    assert A._pick_qblk_pack_bwd(T, C) > 0  # the packed backward is in play
+    assert A._pick_qblk_pack1_bwd(T, C) >= A._PACK1_BWD_MIN_BQ  # in play
 
     def loss_ref(qkv):
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -398,31 +377,7 @@ def test_pack_trainable_matches_xla(N, C):
         return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
 
     def loss_pack(qkv):
-        return jnp.sum(A.pack_attention_trainable(qkv, N, C, True) ** 2)
-
-    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
-    v_got, g_got = jax.value_and_grad(loss_pack)(qkv)
-    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
-
-
-def test_pack_trainable_folded_bwd_fallback(monkeypatch):
-    """When no packed-backward q-block fits VMEM (celeba's T=4096 shape), the
-    VJP falls back to the folded backward — grads must still match XLA."""
-    from vdiff_tpu.ops import attention as A
-
-    monkeypatch.setattr(A, "_pick_qblk_pack_bwd", lambda T, C: 0)
-    B, T, N, C = 1, 256, 2, 64
-    rng = np.random.RandomState(29)
-    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
-
-    def loss_ref(qkv):
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        tok = lambda a: a.reshape(B, T, N, C)
-        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
-
-    def loss_pack(qkv):
-        return jnp.sum(A.pack_attention_trainable(qkv, N, C, True) ** 2)
+        return jnp.sum(A.pack1_attention_trainable(qkv, N, C, True) ** 2)
 
     v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
     v_got, g_got = jax.value_and_grad(loss_pack)(qkv)
@@ -433,13 +388,15 @@ def test_pack_trainable_folded_bwd_fallback(monkeypatch):
 def test_spatial_attention_qkv_sublane_train_routes_packed(monkeypatch):
     """Training dispatch: celeba's sub-lane head shape (N=6, C=64) must take
     the packed custom-VJP path; values + grads ≡ XLA. An NC % 128 != 0 shape
-    (N=9) must not."""
+    (N=9) must not, and neither must a shape whose packed-backward q-block
+    falls below the chip-measured _PACK1_BWD_MIN_BQ gate (celeba's T=4096,
+    where the folded path wins — simulated by forcing the picker small)."""
     from vdiff_tpu.ops import attention as A
 
     monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
     routed = []
-    orig = A.pack_attention_trainable
-    monkeypatch.setattr(A, "pack_attention_trainable",
+    orig = A.pack1_attention_trainable
+    monkeypatch.setattr(A, "pack1_attention_trainable",
                         lambda qkv, n, c: routed.append(1) or orig(qkv, n, c, True))
     # keep the N=9 shape off the real (uninterpreted) folded kernels on CPU
     monkeypatch.setattr(A, "_flash_train_ok", lambda T, C: False)
@@ -456,7 +413,7 @@ def test_spatial_attention_qkv_sublane_train_routes_packed(monkeypatch):
     v_got, g_got = jax.value_and_grad(
         lambda q: jnp.sum(A.spatial_attention_qkv(q, 6, use_flash=True, train=True) ** 2)
     )(qkv6)
-    assert routed, "N=6/C=64 training must route to pack_attention_trainable"
+    assert routed, "N=6/C=64 training must route to pack1_attention_trainable"
     v_ref, g_ref = jax.value_and_grad(ref6)(qkv6)
     np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
@@ -465,3 +422,74 @@ def test_spatial_attention_qkv_sublane_train_routes_packed(monkeypatch):
     qkv9 = jnp.asarray(rng.randn(B, T, 3 * 9 * C).astype(np.float32) * 0.5)
     A.spatial_attention_qkv(qkv9, 9, use_flash=True, train=True)
     assert not routed, "NC=576 must not take the packed training path"
+
+    # small-backward-q-block shapes (celeba's T=4096 → bq=64) stay folded
+    monkeypatch.setattr(A, "_pick_qblk_pack1_bwd",
+                        lambda T, C: A._PACK1_BWD_MIN_BQ // 2)
+    A.spatial_attention_qkv(qkv6, 6, use_flash=True, train=True)
+    assert not routed, "bq_bwd < _PACK1_BWD_MIN_BQ must not route packed"
+
+
+@pytest.mark.parametrize("N,C", [(2, 64), (6, 64), (8, 32)])
+def test_pack1_fwd_matches_xla(N, C):
+    """One-head-per-program packed forward (head in the grid's innermost dim,
+    pl.when-selected static lane slices, full-width accumulating stores) ≡
+    XLA attention. Covers nblk > 1 (N=6/C=64 → 3 blocks) and H=4 (C=32)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops.attention import _pack1_fwd_call, _pick_qblk_pack1
+
+    B, T = 2, 256
+    rng = np.random.RandomState(37)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    tok = lambda a: a.reshape(B, T, N, C)
+    ref = _xla_attention(tok(q), tok(k), tok(v))
+    bq = _pick_qblk_pack1(T, C)
+    assert bq == 256
+    with pltpu.force_tpu_interpret_mode():
+        out = _pack1_fwd_call(qkv, N, C, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("N,C", [(6, 64), (4, 32)])
+def test_pack1_bwd_matches_autodiff(N, C):
+    """One-head-per-program packed backward ≡ autodiff through XLA attention:
+    per-head lane-slice reads, the [0 | dx_h | 0] full-width embed-accumulate
+    stores (dq across heads; dk/dv across q-blocks AND heads), and the d(qkv)
+    assembly, with a bq that gives multiple q-block grid steps."""
+    from vdiff_tpu.ops import attention as A
+
+    B, T, bq = 2, 256, 128
+    rng = np.random.RandomState(41)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+
+    out = A._pack1_fwd_call(qkv, N, C, bq, interpret=True)
+    v_got = jnp.sum(out ** 2)
+    g = 2.0 * out  # d(sum out²)/d(out)
+    dq, dk, dv = A._pack1_bwd_call(qkv, g, N, C, bq, interpret=True)
+    g_got = jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)], axis=-1)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pack1_pickers():
+    """Pin the chip-validated picks at celeba's two attention shapes: the
+    forward reaches the folded kernel's proven bq=512 at both (one head per
+    program — no all-heads tile term in the working set), the backward gets
+    bq=256 at T=1024 (above the _PACK1_BWD_MIN_BQ dispatch gate → packed
+    training) and bq=64 at T=4096 (below it → folded training, the
+    chip-measured winner there; scripts/bench_attn_pack1_r5.py)."""
+    from vdiff_tpu.ops import attention as A
+
+    assert A._pick_qblk_pack1(1024, 64) == 512
+    assert A._pick_qblk_pack1(4096, 64) == 512
+    assert A._pick_qblk_pack1_bwd(1024, 64) == 256 >= A._PACK1_BWD_MIN_BQ
+    assert 0 < A._pick_qblk_pack1_bwd(4096, 64) == 64 < A._PACK1_BWD_MIN_BQ

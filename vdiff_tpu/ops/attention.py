@@ -300,137 +300,175 @@ def _pick_qblk_fwd(T: int, C: int) -> int:
     return 0
 
 
-def _attn_fwd_kernel_pack(q_ref, k_ref, v_ref, o_ref, *, scale: float, C: int):
-    """H = 128//C sub-lane heads PACKED side by side in one 128-wide lane
-    block, computed per-head with in-register lane slices. Blocks are taken
-    straight out of the fused (B, T, 3·N·C) qkv at 128-aligned column offsets
-    — a legal BlockSpec where per-head C=64 offsets are not (Mosaic: the last
+def _attn_fwd_kernel_pack1(q_ref, k_ref, v_ref, o_ref, *, scale: float, C: int):
+    """Packed sub-lane attention, ONE head per program. H = 128//C sub-lane
+    heads sit PACKED side by side in each 128-wide lane block, taken straight
+    out of the fused (B, T, 3·N·C) qkv at 128-aligned column offsets — a
+    legal BlockSpec where per-head C=64 offsets are not (Mosaic: the last
     block dim must be ≡0 mod 128 or span it) — so the HBM split/head-transpose
-    copies of the folded layout never materialize (measured 1.39x at celeba's
-    T=1024/C=64 shape, scripts/bench_attn_pair_r4.py)."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, 128)
-    k = k_ref[0].astype(jnp.float32)          # (T, 128)
-    v = v_ref[0].astype(jnp.float32)
-    outs = []
-    for h in range(q.shape[-1] // C):
-        sl = slice(h * C, (h + 1) * C)
-        s = jnp.dot(q[:, sl], k[:, sl].T, preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(s, axis=-1)
-        outs.append(jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32))
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    copies of the folded layout never materialize. The head is the grid's
+    INNERMOST dim, selected by ``pl.when`` over static lane slices: only one
+    head's (bq, T) score tile is live per program (an earlier variant unrolled
+    all H heads in one program, so all H tiles counted against VMEM at once,
+    capping T=4096/C=64 at bq=128 / 53.4 TF/s), so the q-block can be as
+    large as the folded kernel's proven pick — bq=512 at celeba's shapes
+    measures 3.58 ms vs the all-heads variant's 3.87 at T=1024 and 14.19 vs
+    15.45 at T=4096 (scripts/bench_attn_pack1_r5.py, B=32/N=6/C=64 bf16).
 
-
-def _pick_qblk_pack(T: int, C: int) -> int:
-    """Largest q-block for the packed sub-lane forward; 0 = none. Working set:
-    f32 k/v casts (T, 128) ×2 + H (bq, T) score tiles (assume all H live —
-    Mosaic does not prove the unrolled heads' buffers reusable) + q/out."""
+    Stores stay full-128-lane (Mosaic partial-lane stores avoided): head 0
+    writes ``[out0 | 0...]``, later heads accumulate ``[... 0 | out_h | 0 ...]``
+    into the revisited block (disjoint lanes, so the adds are exact)."""
+    h = pl.program_id(3)
     H = 128 // C
+    bq = q_ref.shape[1]
+
+    for hh in range(H):
+
+        @pl.when(h == hh)
+        def _(hh=hh):
+            sl = slice(hh * C, (hh + 1) * C)
+            q = q_ref[0][:, sl].astype(jnp.float32) * scale
+            k = k_ref[0][:, sl].astype(jnp.float32)
+            v = v_ref[0][:, sl].astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1)
+            out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            z = lambda n: jnp.zeros((bq, n * C), jnp.float32)
+            full = jnp.concatenate(
+                [a for a in (z(hh), out, z(H - 1 - hh)) if a.shape[-1]], axis=-1)
+            if hh == 0:
+                o_ref[0] = full.astype(o_ref.dtype)
+            else:
+                o_ref[0] += full.astype(o_ref.dtype)
+
+
+def _pick_qblk_pack1(T: int, C: int) -> int:
+    """Largest q-block for the one-head-per-program packed forward; 0 = none.
+    Working set: ONE (bq, T) f32 score tile + one head's f32 k/v slices +
+    the bf16 (T, 128) k/v input blocks — there is no all-heads tile term
+    (one head per program), so T=4096/C=64 reaches bq=512 (the folded
+    kernel's chip-proven pick, scripts/trace_celeba_r4.py)."""
     for bq in (512, 256, 128):
-        vmem = 2 * T * 128 * 4 + H * bq * T * 4 + 2 * bq * 128 * 4
-        if T % bq == 0 and vmem <= 12 * 1024 * 1024:
+        vmem = bq * T * 4 + 2 * T * C * 4 + 2 * T * 128 * 2 + 2 * bq * 128 * 4
+        if T % bq == 0 and vmem <= 13 * 1024 * 1024:
             return bq
     return 0
 
 
-def _pack_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = False):
-    """Packed sub-lane attention on the fused qkv: (B, T, 3·N·C) → (B, T, N·C)
-    with zero reshape/transpose copies (see ``_attn_fwd_kernel_pack``). This is
-    the active inference path for sub-lane heads when the preconditions hold
-    (``spatial_attention_qkv`` gates on them before routing here)."""
+def _pack1_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = False):
+    """One-head-per-program packed forward: (B, T, 3·N·C) → (B, T, N·C), zero
+    fold/unfold copies. This is the active inference path for sub-lane heads
+    (``spatial_attention_qkv`` gates on the tiling preconditions before
+    routing here). q/k/v blocks are 128-aligned column windows of the SAME
+    fused qkv array (passed three times); the head loop lives in the grid's
+    innermost dim, whose index the block maps ignore — q/k/v/out blocks stay
+    VMEM-resident across the H head programs."""
     B, T, _ = qkv.shape
     NC = num_heads * C
-    # Preconditions (violations would silently truncate the grid / leave
-    # output columns uninitialized): every 128-wide lane block must hold an
-    # integral number of whole heads, and the heads must tile NC exactly.
     assert NC % 128 == 0 and 128 % C == 0, (
-        f"_pack_fwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+        f"_pack1_fwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
     )
-    nblk = NC // 128  # head packs
-    spec = lambda off: pl.BlockSpec(
-        (1, T, 128), lambda b, p, i, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
-    spec_q = pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM)
+    nblk = NC // 128
+    H = 128 // C
+    spec_kv = lambda off: pl.BlockSpec(
+        (1, T, 128), lambda b, p, i, h, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i, h: (b, i, p), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_fwd_kernel_pack, scale=1.0 / math.sqrt(C), C=C),
-        grid=(B, nblk, T // bq),
-        in_specs=[spec_q, spec(nblk), spec(2 * nblk)],
-        out_specs=pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM),
+        functools.partial(_attn_fwd_kernel_pack1, scale=1.0 / math.sqrt(C), C=C),
+        grid=(B, nblk, T // bq, H),
+        in_specs=[spec_blk, spec_kv(nblk), spec_kv(2 * nblk)],
+        out_specs=spec_blk,
         out_shape=jax.ShapeDtypeStruct((B, T, NC), qkv.dtype),
         interpret=interpret,
     )(qkv, qkv, qkv)
 
 
-def _attn_bwd_kernel_pack(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                          *, scale: float, C: int):
-    """Packed sub-lane backward: H = 128//C heads per 128-wide lane block,
-    read straight off the fused qkv (same zero-copy BlockSpec scheme as
-    ``_attn_fwd_kernel_pack``). dq per q-block; dk/dv accumulate in f32
-    output blocks that stay VMEM-resident across the innermost q-block grid
-    dim. Matmul operands stay in the INPUT dtype (the r4-measured native-MXU
-    treatment, see ``_attn_bwd_kernel_qblk``); softmax/ds algebra f32."""
-    qb = pl.program_id(2)
+def _attn_bwd_kernel_pack1(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                           *, scale: float, C: int):
+    """One-head-per-program packed backward (see ``_attn_fwd_kernel_pack1``
+    for the head-in-grid scheme). Only one head's (bq, T) score/ds temporaries
+    are live per program, so shapes where an all-heads-per-program backward
+    cannot fit VMEM still get a real packed backward (T=4096/C=64 → bq=64 —
+    though chip measurement shows the folded path still wins there; the
+    dispatch gate is ``_pick_qblk_pack1_bwd(T, C) >= _PACK1_BWD_MIN_BQ``).
+    dk/dv accumulate in f32 blocks resident across the (q-block, head) inner
+    grid dims; matmul operands stay in the input dtype
+    (``_attn_bwd_kernel_qblk``'s measured native-MXU treatment)."""
+    i = pl.program_id(2)
+    h = pl.program_id(3)
+    H = 128 // C
+    bq = q_ref.shape[1]
 
-    @pl.when(qb == 0)
+    @pl.when((i == 0) & (h == 0))
     def _():
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0]    # (bq, 128), input dtype
-    k = k_ref[0]    # (T, 128)
-    v = v_ref[0]
-    do = do_ref[0]  # (bq, 128)
-    dqs, dks, dvs = [], [], []
-    for h in range(128 // C):
-        sl = slice(h * C, (h + 1) * C)
-        qh, kh, vh, doh = q[:, sl], k[:, sl], v[:, sl], do[:, sl]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)  # f32 (bq, T)
-        dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
-        pn = p.astype(q.dtype)
-        dqs.append(jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale)
-        dks.append(jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32) * scale)
-        dvs.append(jax.lax.dot_general(pn, doh, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32))
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
-    dk_ref[0] += jnp.concatenate(dks, axis=-1)
-    dv_ref[0] += jnp.concatenate(dvs, axis=-1)
+    for hh in range(H):
+
+        @pl.when(h == hh)
+        def _(hh=hh):
+            sl = slice(hh * C, (hh + 1) * C)
+            qh = q_ref[0][:, sl]    # (bq, C), input dtype
+            kh = k_ref[0][:, sl]    # (T, C)
+            vh = v_ref[0][:, sl]
+            doh = do_ref[0][:, sl]  # (bq, C)
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            p = jax.nn.softmax(s, axis=-1)  # f32 (bq, T)
+            dp = jax.lax.dot_general(doh, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(qh.dtype)
+            pn = p.astype(qh.dtype)
+            dqh = jnp.dot(ds, kh, preferred_element_type=jnp.float32) * scale
+            dkh = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) * scale
+            dvh = jax.lax.dot_general(pn, doh, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+
+            def embed(x):  # (rows, C) f32 → full-lane (rows, 128), zeros elsewhere
+                z = lambda n: jnp.zeros((x.shape[0], n * C), jnp.float32)
+                return jnp.concatenate(
+                    [a for a in (z(hh), x, z(H - 1 - hh)) if a.shape[-1]], axis=-1)
+
+            if hh == 0:
+                dq_ref[0] = embed(dqh).astype(dq_ref.dtype)
+            else:
+                dq_ref[0] += embed(dqh).astype(dq_ref.dtype)
+            dk_ref[0] += embed(dkh)
+            dv_ref[0] += embed(dvh)
 
 
-def _pick_qblk_pack_bwd(T: int, C: int) -> int:
-    """Largest q-block for the packed sub-lane BACKWARD; 0 = none (caller
-    falls back to the folded backward). Working set: k/v blocks + f32 dk/dv
-    accumulators (T, 128) + ~4 (bq, T) f32 score/ds temporaries per unrolled
-    head (the sub-lane Mosaic undercount lesson from ``_pick_qblk`` applied:
-    assume one extra live tile per head beyond the analytical 3) under the
-    tight 8 MB sub-lane budget. T=1024/C=64 → 128; T=4096 → 0 (the k/v +
-    accumulator term alone exceeds the budget)."""
-    H = 128 // C
+def _pick_qblk_pack1_bwd(T: int, C: int) -> int:
+    """Largest q-block for the one-head-per-program packed backward; 0 = none.
+    Working set: ~3 one-head (bq, T) f32 tiles (s/p/dp; ds is input-dtype) +
+    f32 dk/dv accumulator blocks (T, 128) ×2 + the (T, 128) embed temporaries
+    + bf16 k/v input blocks. T=1024/C=64 → 256; T=4096 → 64."""
     for bq in (256, 128, 64, 32):
-        vmem = 4 * T * 128 * 4 + 4 * H * bq * T * 4 + 3 * bq * 128 * 4
-        if T % bq == 0 and vmem <= 8 * 1024 * 1024:
+        vmem = (3 * bq * T * 4 + 2 * T * 128 * 4 + 2 * T * 128 * 4
+                + 2 * T * 128 * 2 + 3 * bq * 128 * 4)
+        if T % bq == 0 and vmem <= 14 * 1024 * 1024:
             return bq
     return 0
 
 
-def _pack_bwd_call(qkv, g, num_heads: int, C: int, bq: int, interpret: bool = False):
-    """Packed backward pallas_call: (qkv, g) → (dq, dk_f32, dv_f32), each
-    (B, T, N·C) in the packed head layout (no fold/unfold copies)."""
+def _pack1_bwd_call(qkv, g, num_heads: int, C: int, bq: int, interpret: bool = False):
+    """One-head-per-program packed backward pallas_call: (qkv, g) →
+    (dq, dk_f32, dv_f32), each (B, T, N·C) in the packed head layout."""
     B, T, _ = qkv.shape
     NC = num_heads * C
     assert NC % 128 == 0 and 128 % C == 0, (
-        f"_pack_bwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+        f"_pack1_bwd_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
     )
     nblk = NC // 128
+    H = 128 // C
     spec_kv = lambda off: pl.BlockSpec(
-        (1, T, 128), lambda b, p, i, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
-    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i: (b, i, p), memory_space=pltpu.VMEM)
-    spec_acc = pl.BlockSpec((1, T, 128), lambda b, p, i: (b, 0, p), memory_space=pltpu.VMEM)
+        (1, T, 128), lambda b, p, i, h, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i, h: (b, i, p), memory_space=pltpu.VMEM)
+    spec_acc = pl.BlockSpec((1, T, 128), lambda b, p, i, h: (b, 0, p), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel_pack, scale=1.0 / math.sqrt(C), C=C),
-        grid=(B, nblk, T // bq),
+        functools.partial(_attn_bwd_kernel_pack1, scale=1.0 / math.sqrt(C), C=C),
+        grid=(B, nblk, T // bq, H),
         in_specs=[spec_blk, spec_kv(nblk), spec_kv(2 * nblk), spec_blk],
         out_specs=[spec_blk, spec_acc, spec_acc],
         out_shape=[
@@ -442,42 +480,42 @@ def _pack_bwd_call(qkv, g, num_heads: int, C: int, bq: int, interpret: bool = Fa
     )(qkv, qkv, qkv, g)
 
 
+# Minimum packed-backward q-block worth taking over the folded path. Chip
+# measurement (scripts/bench_attn_pack1_r5.py, B=32/N=6/C=64 bf16, fwd+bwd):
+# T=1024 picks bq=256 → 5.64 ms vs folded-dispatch 6.50 (1.15x win; bq=128
+# forced: 6.32, still a win); T=4096 picks bq=64 → 64.85 ms vs 57.46
+# (0.89x LOSS — the tiny q-block re-reads k/v too many times). The gate
+# keeps bq≥128 shapes packed and leaves bq<128 shapes on the folded path.
+_PACK1_BWD_MIN_BQ = 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def pack_attention_trainable(qkv, num_heads: int, C: int, interpret: bool = False):
+def pack1_attention_trainable(qkv, num_heads: int, C: int, interpret: bool = False):
     """Differentiable packed sub-lane attention straight off the fused qkv:
-    (B, T, 3·N·C) → (B, T, N·C). The forward is ``_pack_fwd_call`` (zero
-    fold/unfold copies — the r4 celeba train trace billed those copies at
-    18.6% of the step); the backward is the packed kernel when its q-block
-    fits VMEM, else the folded custom-VJP backward (fwd copies still dead,
-    bwd ones return). Callers gate on ``_pick_qblk_pack`` > 0."""
-    return _pack_train_fwd(qkv, num_heads, C, interpret)[0]
+    (B, T, 3·N·C) → (B, T, N·C). Both directions are the one-head-per-program
+    packed kernels — zero fold/unfold copies (the r4 celeba train trace
+    billed those copies at 18.6% of the step); the only remaining copy is
+    assembling d(qkv), cheaper than the folded path's split + 2×3
+    head-transposes + concat. Callers gate on ``_pick_qblk_pack1`` > 0 and
+    ``_pick_qblk_pack1_bwd`` >= ``_PACK1_BWD_MIN_BQ`` (chip-measured: smaller
+    backward q-blocks lose to the folded path)."""
+    return _pack1_train_fwd(qkv, num_heads, C, interpret)[0]
 
 
-def _pack_train_fwd(qkv, num_heads, C, interpret):
-    bq = _pick_qblk_pack(qkv.shape[1], C)
-    return _pack_fwd_call(qkv, num_heads, C, bq, interpret), qkv
+def _pack1_train_fwd(qkv, num_heads, C, interpret):
+    bq = _pick_qblk_pack1(qkv.shape[1], C)
+    return _pack1_fwd_call(qkv, num_heads, C, bq, interpret), qkv
 
 
-def _pack_train_bwd(num_heads, C, interpret, qkv, g):
-    B, T, _ = qkv.shape
-    N = num_heads
-    bq = _pick_qblk_pack_bwd(T, C)
-    if bq:
-        dq, dk, dv = _pack_bwd_call(qkv, g, N, C, bq, interpret)
-        # the one remaining copy: assembling d(qkv); cheaper than the folded
-        # path's split + 2×3 head-transposes + concat
-        return (jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
-                                axis=-1),)
-    # fallback (e.g. celeba's T=4096 up-resample attention, where the packed
-    # backward working set exceeds VMEM): the folded custom-VJP backward
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    fold = lambda a: a.reshape(B, T, N, C).transpose(0, 2, 1, 3).reshape(B * N, T, C)
-    dq, dk, dv = _flash_trainable_bwd(interpret, (fold(q), fold(k), fold(v)), fold(g))
-    unfold = lambda a: a.reshape(B, N, T, C).transpose(0, 2, 1, 3).reshape(B, T, N * C)
-    return (jnp.concatenate([unfold(dq), unfold(dk), unfold(dv)], axis=-1),)
+def _pack1_train_bwd(num_heads, C, interpret, qkv, g):
+    bq = _pick_qblk_pack1_bwd(qkv.shape[1], C)
+    assert bq, "dispatch must gate pack1 training on a packed-backward q-block"
+    dq, dk, dv = _pack1_bwd_call(qkv, g, num_heads, C, bq, interpret)
+    return (jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+                            axis=-1),)
 
 
-pack_attention_trainable.defvjp(_pack_train_fwd, _pack_train_bwd)
+pack1_attention_trainable.defvjp(_pack1_train_fwd, _pack1_train_bwd)
 
 
 def _qblk_fwd_call(q, k, v, bq: int, interpret: bool = False):
@@ -657,17 +695,16 @@ def spatial_attention_qkv(
 
     # training, sub-lane heads: PACKED custom-VJP path straight off the fused
     # qkv (same head-tiling preconditions as the inference packed gate) —
-    # kills the fold/unfold copies around the VJP. Gated on a PACKED backward
-    # q-block existing: chip measurement (scripts/bench_attn_train_pack_r5.py)
-    # shows packed fwd+bwd 1.02x over folded at T=1024 but the packed-fwd +
-    # folded-bwd-fallback combination 0.95x at T=4096 (the packed fwd's
-    # bq=128 loses to the folded fwd's bq=512 there, and the fallback moves
-    # the fold copies into the backward instead of removing them) — so
-    # fallback-needing shapes stay on the folded path below.
+    # kills the fold/unfold copies around the VJP. Gated on a packed-backward
+    # q-block of at least _PACK1_BWD_MIN_BQ: chip measurement
+    # (scripts/bench_attn_pack1_r5.py) shows pack1 fwd+bwd 1.15x over the
+    # prior dispatch at T=1024 (bq_bwd=256) but 0.89x at T=4096 (bq_bwd=64 —
+    # the tiny q-block re-reads k/v too often), so small-bq shapes stay on
+    # the folded path below.
     if (use_flash and on_tpu and train and T % 128 == 0 and C in (32, 64)
-            and (N * C) % 128 == 0 and _pick_qblk_pack(T, C)
-            and _pick_qblk_pack_bwd(T, C)):
-        return pack_attention_trainable(qkv, N, C)
+            and (N * C) % 128 == 0 and _pick_qblk_pack1(T, C)
+            and _pick_qblk_pack1_bwd(T, C) >= _PACK1_BWD_MIN_BQ):
+        return pack1_attention_trainable(qkv, N, C)
     # training: native width when legal (C lane-aligned OR sub-lane 32/64 —
     # blocks span the full last dim), zero-padded lane width otherwise
     Cn = C if _flash_train_ok(T, C) else Cp
@@ -675,17 +712,19 @@ def spatial_attention_qkv(
         return unfolded(flash_attention_trainable(*folded(pad=Cn != C)))
     if use_flash and on_tpu and not train and T % 128 == 0:
         # sub-lane heads at inference, preferred order:
-        #   1. PACKED kernel straight off the fused qkv (zero fold/unfold
-        #      copies): legal when whole heads tile the 128-lane blocks
-        #      (NC % 128 == 0 and 128 % C == 0, i.e. C ∈ {32, 64}) and a
-        #      q-block fits VMEM. Measured 1.39x over the folded q-block path
-        #      at celeba's T=1024/C=64 shape (scripts/bench_attn_pair_r4.py) —
-        #      the split + head-transpose copies it kills were trace-billed
-        #      ~13% of the celeba sampling step (RUNLOG_TPU.md r4).
+        #   1. PACKED one-head-per-program kernel straight off the fused qkv
+        #      (zero fold/unfold copies): legal when whole heads tile the
+        #      128-lane blocks (NC % 128 == 0 and 128 % C == 0, i.e.
+        #      C ∈ {32, 64}) and a q-block fits VMEM. Chip-measured at both
+        #      celeba shapes (scripts/bench_attn_pack1_r5.py): 3.58 ms vs the
+        #      r5 all-heads packed dispatch's 3.87 at T=1024 and 14.19 vs
+        #      15.48 at T=4096 — the split + head-transpose copies the packed
+        #      family kills were trace-billed ~13% of the celeba sampling
+        #      step (RUNLOG_TPU.md r4).
         if C in (32, 64) and (N * C) % 128 == 0:
-            bq = _pick_qblk_pack(T, C)
+            bq = _pick_qblk_pack1(T, C)
             if bq:
-                return _pack_fwd_call(qkv, N, C, bq)
+                return _pack1_fwd_call(qkv, N, C, bq)
         #   2. NATIVE-width direct-softmax q-blocked kernel on the folded
         #      layout, no zero-padding. A block that spans the full (sub-lane)
         #      last dim is legal in Pallas for power-of-two widths (32/64 —
