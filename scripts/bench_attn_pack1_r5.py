@@ -166,6 +166,23 @@ def main():
                 fn = pack1_trainable(bq_f, bq_b)
                 report(f"train pack1 f{bq_f}/b{bq_b}", timed_vjp(fn, qkv), T, f_tot)
 
+        # kv-blocked backward (flash-style, lse+out residuals) at the picker
+        # pair and one bq step down — the candidate for shapes the full-row
+        # backward loses (T=4096)
+        bq_kv, bkv = A._pick_qblk_pack1_kv(T, C)
+        if bq_kv:
+            fn = lambda x: A.pack1_attention_trainable_kv(x, N, C)
+            try:
+                g = jax.vjp(fn, qkv)[1](fn(qkv))[0]
+                cur_g = jax.vjp(cur_t, qkv)[1](cur_t(qkv))[0]
+                d = float(jnp.max(jnp.abs(g.astype(jnp.float32) - cur_g.astype(jnp.float32))))
+            except Exception as e:  # noqa: BLE001
+                print(f"  train pack1-kv: FAILED {type(e).__name__}: {str(e)[:140]}",
+                      flush=True)
+            else:
+                report(f"train pack1-kv f{bq1}/b{bq_kv}x{bkv} (max|dg|={d:.1e})",
+                       timed_vjp(fn, qkv), T, f_tot)
+
 
 if __name__ == "__main__":
     main()

@@ -423,11 +423,25 @@ def test_spatial_attention_qkv_sublane_train_routes_packed(monkeypatch):
     A.spatial_attention_qkv(qkv9, 9, use_flash=True, train=True)
     assert not routed, "NC=576 must not take the packed training path"
 
-    # small-backward-q-block shapes (celeba's T=4096 → bq=64) stay folded
+    # small-backward-q-block shapes (celeba's T=4096 → bq=64) take the
+    # kv-blocked route when ITS picker fits, else fall back to folded
+    routed_kv = []
+    orig_kv = A.pack1_attention_trainable_kv
+    monkeypatch.setattr(A, "pack1_attention_trainable_kv",
+                        lambda qkv, n, c: routed_kv.append(1) or orig_kv(qkv, n, c, True))
     monkeypatch.setattr(A, "_pick_qblk_pack1_bwd",
                         lambda T, C: A._PACK1_BWD_MIN_BQ // 2)
     A.spatial_attention_qkv(qkv6, 6, use_flash=True, train=True)
-    assert not routed, "bq_bwd < _PACK1_BWD_MIN_BQ must not route packed"
+    assert not routed and not routed_kv, (
+        "bq_bwd < _PACK1_BWD_MIN_BQ with no kv pick must fall back to folded")
+
+    monkeypatch.setattr(A, "_pick_qblk_pack1_kv", lambda T, C: (64, 64))
+    v_kv, g_kv = jax.value_and_grad(
+        lambda q: jnp.sum(A.spatial_attention_qkv(q, 6, use_flash=True, train=True) ** 2)
+    )(qkv6)
+    assert routed_kv and not routed, "kv pick present must route the kv path"
+    np.testing.assert_allclose(float(v_kv), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_kv), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("N,C", [(2, 64), (6, 64), (8, 32)])
@@ -480,6 +494,35 @@ def test_pack1_bwd_matches_autodiff(N, C):
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("N,C", [(6, 64), (4, 32)])
+def test_pack1_kv_trainable_matches_xla(N, C, monkeypatch):
+    """kv-blocked custom-VJP path (the T=4096 training route): value AND
+    d(qkv) vs autodiff through XLA attention — the lse-saving forward, the
+    chunk-wise p recompute (p = exp(s·scale − lse)), delta from the saved
+    output, the fori_loop dq accumulation and the dynamic-row dk/dv
+    read-modify-writes, with multiple kv chunks (bkv=128 < T=256) and
+    multiple q blocks."""
+    from vdiff_tpu.ops import attention as A
+
+    B, T = 2, 256
+    monkeypatch.setattr(A, "_pick_qblk_pack1_kv", lambda T, C: (128, 128))
+    rng = np.random.RandomState(43)
+    qkv = jnp.asarray(rng.randn(B, T, 3 * N * C).astype(np.float32) * 0.5)
+
+    def loss_ref(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tok = lambda a: a.reshape(B, T, N, C)
+        return jnp.sum(_xla_attention(tok(q), tok(k), tok(v)) ** 2)
+
+    def loss_kv(qkv):
+        return jnp.sum(A.pack1_attention_trainable_kv(qkv, N, C, True) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(qkv)
+    v_got, g_got = jax.value_and_grad(loss_kv)(qkv)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
 def test_pack1_pickers():
     """Pin the chip-validated picks at celeba's two attention shapes: the
     forward reaches the folded kernel's proven bq=512 at both (one head per
@@ -493,3 +536,4 @@ def test_pack1_pickers():
     assert A._pick_qblk_pack1(4096, 64) == 512
     assert A._pick_qblk_pack1_bwd(1024, 64) == 256 >= A._PACK1_BWD_MIN_BQ
     assert 0 < A._pick_qblk_pack1_bwd(4096, 64) == 64 < A._PACK1_BWD_MIN_BQ
+    assert A._pick_qblk_pack1_kv(4096, 64) == (256, 1024)  # the T=4096 route

@@ -383,6 +383,69 @@ def _pack1_fwd_call(qkv, num_heads: int, C: int, bq: int, interpret: bool = Fals
     )(qkv, qkv, qkv)
 
 
+def _attn_fwd_kernel_pack1_lse(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                               *, scale: float, C: int):
+    """``_attn_fwd_kernel_pack1`` + a second output carrying each row's
+    logsumexp (of the scaled scores), broadcast across the head's C lanes so
+    the store stays full-128-lane. The lse is the residual that lets the
+    kv-blocked backward recompute p chunk-wise without full (bq, T) rows."""
+    h = pl.program_id(3)
+    H = 128 // C
+    bq = q_ref.shape[1]
+
+    for hh in range(H):
+
+        @pl.when(h == hh)
+        def _(hh=hh):
+            sl = slice(hh * C, (hh + 1) * C)
+            q = q_ref[0][:, sl].astype(jnp.float32) * scale
+            k = k_ref[0][:, sl].astype(jnp.float32)
+            v = v_ref[0][:, sl].astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            out = jnp.dot(e, v, preferred_element_type=jnp.float32) / l
+            lse = jnp.broadcast_to(m + jnp.log(l), (bq, C))
+            z = lambda n: jnp.zeros((bq, n * C), jnp.float32)
+            emb = lambda x: jnp.concatenate(
+                [a for a in (z(hh), x, z(H - 1 - hh)) if a.shape[-1]], axis=-1)
+            if hh == 0:
+                o_ref[0] = emb(out).astype(o_ref.dtype)
+                lse_ref[0] = emb(lse)
+            else:
+                o_ref[0] += emb(out).astype(o_ref.dtype)
+                lse_ref[0] += emb(lse)
+
+
+def _pack1_fwd_lse_call(qkv, num_heads: int, C: int, bq: int,
+                        interpret: bool = False):
+    """Packed forward that also returns the per-row logsumexp, packed like the
+    output ((B, T, N·C) f32, each head's value broadcast over its C lanes).
+    Residual-producing forward of ``pack1_attention_trainable_kv``."""
+    B, T, _ = qkv.shape
+    NC = num_heads * C
+    assert NC % 128 == 0 and 128 % C == 0, (
+        f"_pack1_fwd_lse_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+    )
+    nblk = NC // 128
+    H = 128 // C
+    spec_kv = lambda off: pl.BlockSpec(
+        (1, T, 128), lambda b, p, i, h, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i, h: (b, i, p), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel_pack1_lse, scale=1.0 / math.sqrt(C), C=C),
+        grid=(B, nblk, T // bq, H),
+        in_specs=[spec_blk, spec_kv(nblk), spec_kv(2 * nblk)],
+        out_specs=[spec_blk, spec_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, NC), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, NC), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
 def _attn_bwd_kernel_pack1(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
                            *, scale: float, C: int):
     """One-head-per-program packed backward (see ``_attn_fwd_kernel_pack1``
@@ -480,6 +543,125 @@ def _pack1_bwd_call(qkv, g, num_heads: int, C: int, bq: int, interpret: bool = F
     )(qkv, qkv, qkv, g)
 
 
+def _attn_bwd_kernel_pack1_kv(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                              dq_ref, dk_ref, dv_ref,
+                              *, scale: float, C: int, bkv: int):
+    """Flash-style kv-blocked packed backward, one head per program. The
+    full-row packed backward (``_attn_bwd_kernel_pack1``) needs 3 (bq, T)
+    f32 temporaries, capping T=4096/C=64 at bq=64 — chip-measured SLOWER
+    than the folded path. Here p is recomputed CHUNK-wise from the
+    forward-saved logsumexp (p = exp(s·scale − lse)) and ds uses the saved
+    output (delta = Σ_C do·o replaces the full-row Σ_T p·dp), so temporaries
+    are (bq, bkv) and bq reaches 256 at T=4096. A ``fori_loop`` over kv
+    chunks keeps ONE set of tile buffers live (python-unrolled chunks would
+    multiply them — the all-heads-kernel VMEM lesson); dk/dv accumulate into
+    resident f32 (T, 128) blocks via full-lane dynamic-row read-modify-write
+    (Mosaic partial-lane stores avoided, as everywhere in the pack family)."""
+    i = pl.program_id(2)
+    h = pl.program_id(3)
+    H = 128 // C
+    bq = q_ref.shape[1]
+    T = k_ref.shape[1]
+
+    @pl.when((i == 0) & (h == 0))
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    for hh in range(H):
+
+        @pl.when(h == hh)
+        def _(hh=hh):
+            sl = slice(hh * C, (hh + 1) * C)
+            qh = q_ref[0][:, sl]    # (bq, C), input dtype
+            doh = do_ref[0][:, sl]
+            delta = jnp.sum(do_ref[0][:, sl].astype(jnp.float32)
+                            * o_ref[0][:, sl].astype(jnp.float32),
+                            axis=-1, keepdims=True)      # (bq, 1) f32
+            lse = lse_ref[0][:, sl][:, :1]               # (bq, 1) f32
+
+            def embed(x):  # (rows, C) f32 → full-lane (rows, 128)
+                z = lambda n: jnp.zeros((x.shape[0], n * C), jnp.float32)
+                return jnp.concatenate(
+                    [a for a in (z(hh), x, z(H - 1 - hh)) if a.shape[-1]], axis=-1)
+
+            def chunk(j, dq_acc):
+                rows = pl.ds(j * bkv, bkv)
+                kj = k_ref[0, rows, sl]                  # (bkv, C), input dtype
+                vj = v_ref[0, rows, sl]
+                s = jax.lax.dot_general(qh, kj, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+                p = jnp.exp(s - lse)                     # f32 (bq, bkv)
+                dp = jax.lax.dot_general(doh, vj, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = (p * (dp - delta)).astype(qh.dtype)
+                pn = p.astype(qh.dtype)
+                dkj = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32) * scale
+                dvj = jax.lax.dot_general(pn, doh, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                dk_ref[0, rows, :] += embed(dkj)
+                dv_ref[0, rows, :] += embed(dvj)
+                return dq_acc + jnp.dot(ds, kj,
+                                        preferred_element_type=jnp.float32) * scale
+
+            dq_acc = jax.lax.fori_loop(0, T // bkv, chunk,
+                                       jnp.zeros((bq, C), jnp.float32))
+            if hh == 0:
+                dq_ref[0] = embed(dq_acc).astype(dq_ref.dtype)
+            else:
+                dq_ref[0] += embed(dq_acc).astype(dq_ref.dtype)
+
+
+def _pick_qblk_pack1_kv(T: int, C: int):
+    """(bq, bkv) for the kv-blocked packed backward; (0, 0) = none. Working
+    set: 3 (bq, bkv) f32 tiles (s/p/dp; ds is input-dtype) + the (bkv, 128)
+    embed temporaries + f32 dk/dv resident blocks (T, 128) ×2 + bf16 k/v
+    input blocks + the q/do/o/lse/dq blocks. Only meaningful when bkv < T
+    (otherwise the full-row kernel is strictly simpler). T=4096/C=64 →
+    (256, 1024)."""
+    for bq in (256, 128):
+        for bkv in (1024, 512):
+            if T % bq or T % bkv or bkv >= T:
+                continue
+            vmem = (3 * bq * bkv * 4 + 2 * bkv * 128 * 4 + 2 * T * 128 * 4
+                    + 2 * T * 128 * 2 + 6 * bq * 128 * 4)
+            if vmem <= 13 * 1024 * 1024:
+                return bq, bkv
+    return 0, 0
+
+
+def _pack1_bwd_kv_call(qkv, out, lse, g, num_heads: int, C: int, bq: int,
+                       bkv: int, interpret: bool = False):
+    """kv-blocked packed backward pallas_call: (qkv, out, lse, g) →
+    (dq, dk_f32, dv_f32), each (B, T, N·C) in the packed head layout."""
+    B, T, _ = qkv.shape
+    NC = num_heads * C
+    assert NC % 128 == 0 and 128 % C == 0, (
+        f"_pack1_bwd_kv_call needs NC%128==0 and 128%C==0, got N={num_heads}, C={C}"
+    )
+    nblk = NC // 128
+    H = 128 // C
+    spec_kv = lambda off: pl.BlockSpec(
+        (1, T, 128), lambda b, p, i, h, off=off: (b, 0, off + p), memory_space=pltpu.VMEM)
+    spec_blk = pl.BlockSpec((1, bq, 128), lambda b, p, i, h: (b, i, p), memory_space=pltpu.VMEM)
+    spec_acc = pl.BlockSpec((1, T, 128), lambda b, p, i, h: (b, 0, p), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_pack1_kv, scale=1.0 / math.sqrt(C),
+                          C=C, bkv=bkv),
+        grid=(B, nblk, T // bq, H),
+        in_specs=[spec_blk, spec_kv(nblk), spec_kv(2 * nblk), spec_blk,
+                  spec_blk, spec_blk],
+        out_specs=[spec_blk, spec_acc, spec_acc],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, NC), qkv.dtype),
+            jax.ShapeDtypeStruct((B, T, NC), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, NC), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, out, lse, g)
+
+
 # Minimum packed-backward q-block worth taking over the folded path. Chip
 # measurement (scripts/bench_attn_pack1_r5.py, B=32/N=6/C=64 bf16, fwd+bwd):
 # T=1024 picks bq=256 → 5.64 ms vs folded-dispatch 6.50 (1.15x win; bq=128
@@ -516,6 +698,39 @@ def _pack1_train_bwd(num_heads, C, interpret, qkv, g):
 
 
 pack1_attention_trainable.defvjp(_pack1_train_fwd, _pack1_train_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def pack1_attention_trainable_kv(qkv, num_heads: int, C: int,
+                                 interpret: bool = False):
+    """Differentiable packed sub-lane attention for shapes whose FULL-ROW
+    packed backward q-block is below ``_PACK1_BWD_MIN_BQ`` (celeba's T=4096
+    up-resample attention → bq=64, chip-measured slower than the folded
+    path). The forward additionally saves (out, lse) residuals so the
+    kv-blocked backward (``_attn_bwd_kernel_pack1_kv``) recomputes p
+    chunk-wise at bq=256 — zero fold/unfold copies in either direction.
+    Callers gate on ``_pick_qblk_pack1`` > 0 and ``_pick_qblk_pack1_kv``[0]
+    > 0."""
+    return _pack1_kv_train_fwd(qkv, num_heads, C, interpret)[0]
+
+
+def _pack1_kv_train_fwd(qkv, num_heads, C, interpret):
+    bq = _pick_qblk_pack1(qkv.shape[1], C)
+    out, lse = _pack1_fwd_lse_call(qkv, num_heads, C, bq, interpret)
+    return out, (qkv, out, lse)
+
+
+def _pack1_kv_train_bwd(num_heads, C, interpret, res, g):
+    qkv, out, lse = res
+    bq, bkv = _pick_qblk_pack1_kv(qkv.shape[1], C)
+    assert bq, "dispatch must gate the kv path on _pick_qblk_pack1_kv"
+    dq, dk, dv = _pack1_bwd_kv_call(qkv, out, lse, g, num_heads, C, bq, bkv,
+                                    interpret)
+    return (jnp.concatenate([dq, dk.astype(qkv.dtype), dv.astype(qkv.dtype)],
+                            axis=-1),)
+
+
+pack1_attention_trainable_kv.defvjp(_pack1_kv_train_fwd, _pack1_kv_train_bwd)
 
 
 def _qblk_fwd_call(q, k, v, bq: int, interpret: bool = False):
@@ -702,9 +917,16 @@ def spatial_attention_qkv(
     # the tiny q-block re-reads k/v too often), so small-bq shapes stay on
     # the folded path below.
     if (use_flash and on_tpu and train and T % 128 == 0 and C in (32, 64)
-            and (N * C) % 128 == 0 and _pick_qblk_pack1(T, C)
-            and _pick_qblk_pack1_bwd(T, C) >= _PACK1_BWD_MIN_BQ):
-        return pack1_attention_trainable(qkv, N, C)
+            and (N * C) % 128 == 0 and _pick_qblk_pack1(T, C)):
+        if _pick_qblk_pack1_bwd(T, C) >= _PACK1_BWD_MIN_BQ:
+            return pack1_attention_trainable(qkv, N, C)
+        # full-row backward q-block too small (celeba's T=4096 → bq=64,
+        # chip-measured 0.89x vs folded): the kv-blocked backward recomputes
+        # p chunk-wise from lse/out residuals at bq=256 — chip-measured
+        # 39.64 ms vs the folded path's 57.65 on the T=4096 fwd+bwd pair
+        # (1.45x, 72.8 TF/s; scripts/bench_attn_pack1_r5.py)
+        if _pick_qblk_pack1_kv(T, C)[0]:
+            return pack1_attention_trainable_kv(qkv, N, C)
     # training: native width when legal (C lane-aligned OR sub-lane 32/64 —
     # blocks span the full last dim), zero-padded lane width otherwise
     Cn = C if _flash_train_ok(T, C) else Cp
