@@ -186,8 +186,13 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = _bmm(q, k, 2, 2)  # (G, Tq, Tk)
-    p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = _bmm(p, v, 2, 1).astype(o_ref.dtype)
+    # unnormalized-softmax matmul; divide the (G, Tq, C) OUTPUT by the row
+    # sums — Tk/C× fewer divides than normalizing the score tile (see
+    # ``_attn_fwd_kernel_pack1``; chip-measured there)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = (_bmm(e, v, 2, 1) / l).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
@@ -218,8 +223,12 @@ def _attn_fwd_kernel_qblk(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s, axis=-1)
-    o_ref[0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    # output-divide softmax (see ``_attn_fwd_kernel_pack1``): T/C× fewer
+    # divides than normalizing the (Bq, T) probability tile
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = (jnp.dot(e, v, preferred_element_type=jnp.float32) / l).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel_qblk(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -331,8 +340,14 @@ def _attn_fwd_kernel_pack1(q_ref, k_ref, v_ref, o_ref, *, scale: float, C: int):
             k = k_ref[0][:, sl].astype(jnp.float32)
             v = v_ref[0][:, sl].astype(jnp.float32)
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s, axis=-1)
-            out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+            # unnormalized-softmax matmul, then divide the (bq, C) OUTPUT by
+            # the row sums — T/C× fewer divides than normalizing the (bq, T)
+            # probability tile (the in-model lse-forward runs 10.9 ms at
+            # T=4096 where the jax.nn.softmax form microbenched 14.15)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            l = jnp.sum(e, axis=-1, keepdims=True)
+            out = jnp.dot(e, v, preferred_element_type=jnp.float32) / l
             z = lambda n: jnp.zeros((bq, n * C), jnp.float32)
             full = jnp.concatenate(
                 [a for a in (z(hh), out, z(H - 1 - hh)) if a.shape[-1]], axis=-1)
