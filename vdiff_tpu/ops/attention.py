@@ -186,13 +186,19 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
     s = _bmm(q, k, 2, 2)  # (G, Tq, Tk)
-    # unnormalized-softmax matmul; divide the (G, Tq, C) OUTPUT by the row
-    # sums — Tk/C× fewer divides than normalizing the score tile (see
-    # ``_attn_fwd_kernel_pack1``; chip-measured there)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=-1, keepdims=True)
-    o_ref[0] = (_bmm(e, v, 2, 1) / l).astype(o_ref.dtype)
+    if v.shape[-1] < s.shape[-1]:
+        # unnormalized-softmax matmul; divide the (G, Tq, C) OUTPUT by the
+        # row sums — Tk/C× fewer divides than normalizing the score tile
+        # (see ``_attn_fwd_kernel_pack1``; chip-measured there). Static
+        # shape gate: at C ≥ Tk (e.g. CIFAR's T=64/C=256 tile) normalizing
+        # the score tile is the cheaper side.
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0] = (_bmm(e, v, 2, 1) / l).astype(o_ref.dtype)
+    else:
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0] = _bmm(p, v, 2, 1).astype(o_ref.dtype)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
