@@ -95,14 +95,17 @@ def test_flash_qkv_nonmultiple_of_256_tokens():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_flash_trainable_forward_and_grads_match_xla():
+@pytest.mark.parametrize("T,C", [(16, 8), (16, 32)])
+def test_flash_trainable_forward_and_grads_match_xla(T, C):
     """Custom-VJP flash kernels (training path): value AND q/k/v grads vs
-    autodiff through the XLA attention, interpret mode."""
+    autodiff through the XLA attention, interpret mode. (16, 8) takes the
+    whole-tile forward's output-divide branch (C < T), (16, 32) the
+    score-normalize branch (C ≥ T — CIFAR's T=64/C=256 tile class)."""
     import jax
 
     from vdiff_tpu.ops.attention import flash_attention_trainable
 
-    BN, T, C = 3, 16, 8
+    BN = 3
     rng = np.random.RandomState(7)
     q = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
     k = jnp.asarray(rng.randn(BN, T, C).astype(np.float32) * 0.5)
