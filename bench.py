@@ -344,20 +344,23 @@ def bench_celeba_sampling(on_tpu: bool):
 
 
 def bench_celeba_train(on_tpu: bool, params):
-    """celeba.json train step at B=32 WITHOUT remat — the round-4 winning
+    """celeba.json train step at B=48 WITHOUT remat — the round-4 winning
     recipe (scripts/bench_celeba_policy_r4.py: no-remat 107.2 img/s vs 100.9
     selective-remat vs 85.8 full-remat; round-2's OOM that forced remat
     predates the uint16 dropout masks, bf16 GN-backward storage, native-width
-    sub-lane attention, and state donation that freed the HBM). The
-    TrainState is donated — input+output states of the 301M model are
-    ~4.8 GB each and coexist without donation (OOM)."""
+    sub-lane attention, and state donation that freed the HBM) at the
+    round-5 measured batch optimum (scripts/celeba_batch_probe_r5.py,
+    same-session sweep after the kv-blocked packed backward: B=32 122.4 /
+    B=48 126.8 / B=64 123.5 img/s/chip). The TrainState is donated —
+    input+output states of the 301M model are ~4.8 GB each and coexist
+    without donation (OOM)."""
     import functools
 
     from vdiff_tpu.train_lib import TrainState, make_optimizer, make_train_step
 
     unet, diffusion = _celeba(on_tpu)
     model = unet(remat=False)
-    B = 32 if on_tpu else 2
+    B = 48 if on_tpu else 2
     res = 64
     optimizer = make_optimizer(lr=3e-4, warmup=1000, grad_norm=1.0)
     state = TrainState(
