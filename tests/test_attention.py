@@ -540,3 +540,96 @@ def test_pack1_pickers():
     assert A._pick_qblk_pack1_bwd(1024, 64) == 256 >= A._PACK1_BWD_MIN_BQ
     assert 0 < A._pick_qblk_pack1_bwd(4096, 64) == 64 < A._PACK1_BWD_MIN_BQ
     assert A._pick_qblk_pack1_kv(4096, 64) == (256, 1024)  # the T=4096 route
+
+def test_pack1_padded_heads_gates(monkeypatch):
+    """Gating of the weight-level head-padding helper: misaligned sub-lane
+    shapes (celeba T=256: N=9/C=64 → NC=576) pad to the next 128-aligned head
+    count; aligned, lane-aligned, non-tiling-T and CPU shapes return 0; the
+    train gate mirrors the packed-backward dispatch gates so a padded call
+    can never fall through to a folded path on a bigger tensor."""
+    from vdiff_tpu.ops import attention as A
+
+    assert A.pack1_padded_heads(256, 9, 64, train=False) == 0  # cpu backend
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    assert A.pack1_padded_heads(256, 9, 64, train=False) == 10
+    assert A.pack1_padded_heads(256, 9, 64, train=True) == 10
+    assert A.pack1_padded_heads(256, 5, 32, train=False) == 8   # NC=160 → 256
+    assert A.pack1_padded_heads(256, 6, 64, train=False) == 0   # aligned
+    assert A.pack1_padded_heads(256, 9, 128, train=False) == 0  # lane-aligned
+    assert A.pack1_padded_heads(100, 9, 64, train=False) == 0   # T % 128
+    # train gate: no packed backward of either flavor → no pad
+    monkeypatch.setattr(A, "_pick_qblk_pack1_bwd", lambda T, C: 0)
+    monkeypatch.setattr(A, "_pick_qblk_pack1_kv", lambda T, C: (0, 0))
+    assert A.pack1_padded_heads(256, 9, 64, train=True) == 0
+    assert A.pack1_padded_heads(256, 9, 64, train=False) == 10  # fwd unaffected
+
+
+def _attention_block_setup(train):
+    """Shared fixture for the padded-heads AttentionBlock tests: celeba's
+    misaligned T=256 level (in_dim=576, head_dim=64 → N=9), params + input."""
+    from vdiff_tpu.models.unet import AttentionBlock
+
+    B, H, W, D = 1, 16, 16, 576
+    rng = np.random.RandomState(41)
+    x = jnp.asarray(rng.randn(B, H, W, D).astype(np.float32) * 0.3)
+    block = AttentionBlock(head_dim=64, use_flash=True)
+    params = block.init({"params": jax.random.key(0)}, x, train=train)["params"]
+    # the zero-init proj_out would make the block's attention contribution
+    # vanish (residual-only output — vacuous test); perturb it
+    params = jax.tree.map(
+        lambda p: p + 0.02 * np.random.RandomState(43).randn(*p.shape).astype(p.dtype),
+        params)
+    return block, params, x
+
+
+def test_attention_block_padded_heads_matches_xla(monkeypatch):
+    """End-to-end AttentionBlock at celeba's misaligned T=256/N=9/C=64 shape:
+    the padded-weight pack1 route (interpret mode) must match the plain XLA
+    block bit-for-bit up to kernel rounding — pad head contributes exactly
+    zero through the zero proj-out rows."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdiff_tpu.ops import attention as A
+
+    block, params, x = _attention_block_setup(train=False)
+    ref = block.apply({"params": params}, x, train=False)  # cpu: unpadded XLA
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    routed = []
+    orig = A._pack1_fwd_call
+    monkeypatch.setattr(A, "_pack1_fwd_call",
+                        lambda *a, **k: routed.append(a[1]) or orig(*a, **k))
+    with pltpu.force_tpu_interpret_mode():
+        got = block.apply({"params": params}, x, train=False)
+    assert routed == [10], "padded inference must route pack1 with N_eff=10"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_attention_block_padded_heads_train_grads(monkeypatch):
+    """Training through the padded-weight pack1 path: loss AND parameter
+    gradients (incl. the padded qkv/proj-out weights, whose pad-column grads
+    the weight-concat VJP must slice away) match XLA autodiff."""
+    from vdiff_tpu.ops import attention as A
+
+    block, params, x = _attention_block_setup(train=True)
+
+    def loss(p):
+        return jnp.sum(block.apply({"params": p}, x, train=True) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss)(params)
+
+    monkeypatch.setattr(A.jax, "default_backend", lambda: "tpu")
+    routed = []
+    orig = A.pack1_attention_trainable
+    monkeypatch.setattr(A, "pack1_attention_trainable",
+                        lambda qkv, n, c: routed.append(n) or orig(qkv, n, c, True))
+    v_got, g_got = jax.value_and_grad(loss)(params)
+    assert routed == [10], "padded training must route pack1 with N_eff=10"
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for path, a, b in zip(jax.tree_util.tree_leaves_with_path(g_got)[0:],
+                          jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4,
+                                   err_msg=str(path[0]))

@@ -31,7 +31,7 @@ import flax.linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.numerics import get_timestep_embedding
-from ..ops.attention import spatial_attention_qkv
+from ..ops.attention import pack1_padded_heads, spatial_attention_qkv
 from ..ops.conv3x3 import fusable, fused_gn_silu_conv3x3
 from ..ops.groupnorm import gn_film_silu
 from .layers import (
@@ -116,8 +116,24 @@ class AttentionBlock(nn.Module):
             h, params_only=True
         )
         tokens = h.reshape(B, H * W, in_dim)
+        # head padding for misaligned sub-lane shapes (celeba's T=256 level:
+        # N=9/C=64 → NC=576): zero weight columns per q/k/v section + zero
+        # proj-out rows make NC 128-aligned so the packed zero-copy kernels
+        # apply; the pad head's output and all real-weight gradients are
+        # exactly zero (see ops/attention.py:pack1_padded_heads). Param trees
+        # are untouched — the pad lives on the jit-traced weight VALUES.
+        n_eff = (pack1_padded_heads(H * W, num_heads, head_dim, train)
+                 if self.use_flash else 0) or num_heads
+        w_in, b_in = kin[0, 0], bin_
+        if n_eff != num_heads:
+            zc = jnp.zeros((in_dim, (n_eff - num_heads) * head_dim), w_in.dtype)
+            w_in = jnp.concatenate(
+                [a for s in jnp.split(w_in, 3, axis=-1) for a in (s, zc)], axis=-1)
+            zb = jnp.zeros((zc.shape[-1],), b_in.dtype)
+            b_in = jnp.concatenate(
+                [a for s in jnp.split(b_in, 3) for a in (s, zb)])
         qkv = checkpoint_name(
-            jnp.dot(tokens, kin[0, 0].astype(tokens.dtype)) + bin_.astype(tokens.dtype),
+            jnp.dot(tokens, w_in.astype(tokens.dtype)) + b_in.astype(tokens.dtype),
             "unet_mm",
         )
         # fused-qkv attention: at inference the Pallas kernel reads q/k/v as
@@ -127,15 +143,20 @@ class AttentionBlock(nn.Module):
         # softmax chain)
         out = checkpoint_name(
             spatial_attention_qkv(
-                qkv, num_heads, use_flash=self.use_flash, train=train,
+                qkv, n_eff, use_flash=self.use_flash, train=train,
             ),
             "unet_mm",
         )
         kout, bout = ParamConv(in_dim, (1, 1), init_scale=0.0, name="proj_out",
-                               dtype=self.dtype)(out.reshape(B, H, W, hid_dim),
-                                                 params_only=True)
+                               dtype=self.dtype)(
+                                   out[..., :hid_dim].reshape(B, H, W, hid_dim),
+                                   params_only=True)
+        w_out = kout[0, 0]
+        if n_eff != num_heads:
+            w_out = jnp.concatenate(
+                [w_out, jnp.zeros((out.shape[-1] - hid_dim, in_dim), w_out.dtype)])
         out = checkpoint_name(
-            jnp.dot(out, kout[0, 0].astype(out.dtype)) + bout.astype(out.dtype),
+            jnp.dot(out, w_out.astype(out.dtype)) + bout.astype(out.dtype),
             "unet_mm",
         )
         return out.reshape(B, H, W, in_dim) + skip

@@ -890,6 +890,43 @@ def spatial_attention(q: jax.Array, k: jax.Array, v: jax.Array, use_flash: bool 
     return _xla_attention(q, k, v)
 
 
+def pack1_padded_heads(T: int, num_heads: int, C: int, train: bool) -> int:
+    """Head count to zero-pad to so the packed (pack1) kernels take an
+    otherwise misaligned sub-lane shape — celeba's T=256 attention level has
+    N=9/C=64 → NC=576, not 128-aligned, so it pays fold/unfold copies on the
+    folded paths (trace-billed 2.7 ms/step of the celeba sampler,
+    RUNLOG_TPU.md r5f). Returns 0 when padding buys nothing: already aligned,
+    not a sub-lane power-of-two head dim, not on TPU, or the dispatch would
+    not route the padded shape to a packed kernel anyway (mirrors
+    ``spatial_attention_qkv``'s pack1 gates so a padded call can never fall
+    through to a folded path on a bigger tensor).
+
+    The pad is applied by the CALLER at the projection-weight level (zero
+    qkv-weight columns per q/k/v section, zero proj-out rows — see
+    ``models/unet.py:AttentionBlock``), NOT by padding the activation (that
+    would be a full-tensor copy, the thing being eliminated). The padded
+    head's q/k/v are then exact zeros: its scores are 0, its softmax is
+    uniform, its output rows are 0·v = 0, and every gradient reaching the
+    real weights is exactly 0 (the pad head's dq/dk are p·(dp−δ)-shaped with
+    dp = δ = 0; its dv is nonzero only against the zero proj-out rows, and
+    d(w_pad)'s pad columns are discarded by the weight-concat VJP). Cost is
+    num_padded/num_heads extra attention+projection FLOPs at that level
+    (10/9 ≈ +11% for celeba's T=256 — on a level that is a few % of the
+    step)."""
+    if jax.default_backend() != "tpu" or C not in (32, 64) or T % 128:
+        return 0
+    NC = num_heads * C
+    if NC % 128 == 0:  # already aligned — no pad needed
+        return 0
+    n_pad = num_heads + (-NC % 128) // C
+    if not _pick_qblk_pack1(T, C):
+        return 0
+    if train and _pick_qblk_pack1_bwd(T, C) < _PACK1_BWD_MIN_BQ \
+            and not _pick_qblk_pack1_kv(T, C)[0]:
+        return 0
+    return n_pad
+
+
 def spatial_attention_qkv(
     qkv: jax.Array, num_heads: int, use_flash: bool = True, train: bool = False
 ):
