@@ -97,6 +97,40 @@ BASELINE_CELEBA_SAMPLES_PER_SEC = 0.128
 BASELINE_CELEBA_TRAIN_IMG_PER_SEC = 10.9
 
 
+def bench_session_canary(on_tpu: bool):
+    """Chip-rate canary: a jitted 64-trip ``lax.scan`` of 4096³ bf16 matmuls.
+    The chain stays on-device — a Python loop of single matmul dispatches
+    through the axon tunnel is dispatch-latency-bound and reads ~1 TF/s on a
+    healthy chip (RUNLOG_TPU.md r5, same failure mode as
+    scripts/check_train_timing.py). Rounds 4-5 saw ~10% TRAIN-side-only
+    session-to-session swings (celeba train 99.8-110.4 on identical code);
+    this line pins each BENCH artifact's session speed so cross-round deltas
+    are attributable to code vs chip state."""
+    n = 4096 if on_tpu else 64
+    trips = 64 if on_tpu else 2
+    x = (jnp.ones((n, n), jnp.bfloat16) / n)
+    w = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(x, w):
+        def body(c, _):
+            # rescale keeps the chained values finite in bf16
+            return jnp.dot(c, w, preferred_element_type=jnp.bfloat16) * (1.0 / n), None
+        return jax.lax.scan(body, x, None, length=trips)[0]
+
+    jax.device_get(chain(x, w))  # compile + warm
+    t0 = time.perf_counter()
+    out = chain(x, w)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+    tfs = round(2 * n**3 * trips / dt / 1e12 / jax.device_count(), 3)
+    print(json.dumps({
+        "metric": "session_canary_matmul_tf_per_sec", "value": tfs,
+        "unit": "TF/s/chip",
+        "note": "v5e bf16 peak 197; r5-era healthy sessions ~170-190",
+    }), flush=True)
+
+
 def _flagship(on_tpu: bool):
     from vdiff_tpu.diffusion import GaussianDiffusion
     from vdiff_tpu.models.unet import UNet
@@ -420,6 +454,7 @@ def _attempt(fn, name, tries=2):
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
+    _attempt(lambda: bench_session_canary(on_tpu), "session_canary")
     _attempt(lambda: bench_train(on_tpu), "train_bench")
     # celeba lines are best-effort: a tunnel flake on the 301M compiles must
     # not kill the cifar10 headline line

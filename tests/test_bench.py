@@ -51,3 +51,17 @@ def test_util_fields_rate_math():
     assert fields["model_tf_per_sec"] == 2.0
     assert fields["mfu"] == round(2.0 / bench.V5E_BF16_PEAK_TFS, 3)
     assert bench._util_fields(None, 2.0, on_tpu=True) == {}
+
+
+def test_session_canary_smoke(capsys):
+    """The canary line must emit valid JSON with a positive TF/s value (CPU
+    smoke shapes; the chip-rate semantics are documented in the docstring)."""
+    import json
+
+    import bench
+
+    bench.bench_session_canary(on_tpu=False)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "session_canary_matmul_tf_per_sec"
+    assert rec["value"] > 0
